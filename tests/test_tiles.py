@@ -1,0 +1,96 @@
+"""Tile engine tests: grid construction, blending exactness, parity between
+tiled and untiled model application."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_restore_tpu.ops.conv import conv2d
+from video_restore_tpu.ops.tiles import TileGrid, tiled_apply
+
+
+def _identity(t):
+    return t
+
+
+def test_grid_covers_frame():
+    g = TileGrid.build(100, 150, tile=48, overlap=8, scale=2)
+    assert g.rows.offsets[0] == 0 and g.cols.offsets[0] == 0
+    assert g.rows.offsets[-1] + g.rows.extract == g.rows.padded >= 100
+    assert g.cols.offsets[-1] + g.cols.extract == g.cols.padded >= 150
+    assert g.n_tiles == len(g.rows.offsets) * len(g.cols.offsets)
+
+
+def test_single_tile_when_frame_fits():
+    g = TileGrid.build(30, 40, tile=64, overlap=8, scale=4)
+    assert g.n_tiles == 1
+    # snapped to frame, not to the square tile size
+    assert g.rows.extract == 30 and g.cols.extract == 40
+
+
+def test_identity_model_reproduces_input(rng):
+    x = jnp.asarray(rng.random((2, 37, 53, 3)).astype(np.float32))
+    g = TileGrid.build(37, 53, tile=16, overlap=6, scale=1)
+    out = tiled_apply(_identity, x, g)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_identity_model_legacy_mode(rng):
+    x = jnp.asarray(rng.random((1, 40, 56, 3)).astype(np.float32))
+    g = TileGrid.build(40, 56, tile=16, overlap=4, scale=1, mode="legacy")
+    out = tiled_apply(_identity, x, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["seamless", "legacy"])
+def test_conv_model_tiled_matches_untiled_interior(rng, mode):
+    """A 3x3 conv model: tiled output must match the untiled forward away
+    from tile context edges (halo >= receptive field makes legacy exact in
+    the interior; seamless blends context differences smoothly)."""
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 3)).astype(np.float32) * 0.2)
+
+    def model(t):
+        return conv2d(t, w)
+
+    x = jnp.asarray(rng.random((1, 40, 48, 3)).astype(np.float32))
+    full = np.asarray(model(x))
+    g = TileGrid.build(40, 48, tile=16, overlap=8, scale=1, mode=mode)
+    tiled = np.asarray(tiled_apply(model, x, g))
+    # away from the frame border, outputs should agree closely
+    err = np.abs(tiled - full)[:, 4:-4, 4:-4]
+    assert err.max() < (1e-4 if mode == "legacy" else 0.02), err.max()
+
+
+def test_upscaling_tiled_shapes(rng):
+    def model2x(t):
+        n, h, w, c = t.shape
+        return jnp.broadcast_to(
+            t[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, h * 2, w * 2, c)
+
+    x = jnp.asarray(rng.random((1, 33, 45, 3)).astype(np.float32))
+    g = TileGrid.build(33, 45, tile=16, overlap=4, scale=2)
+    out = tiled_apply(model2x, x, g)
+    assert out.shape == (1, 66, 90, 3)
+    # nearest upscale of tiles == nearest upscale of frame in the interior
+    full = np.asarray(model2x(x))
+    err = np.abs(np.asarray(out) - full)[:, 8:-8, 8:-8]
+    assert err.max() < 1e-4
+
+
+def test_tile_chunking_equivalence(rng):
+    x = jnp.asarray(rng.random((1, 40, 40, 3)).astype(np.float32))
+    g1 = TileGrid.build(40, 40, tile=16, overlap=4, scale=1, tile_chunk=0)
+    g2 = TileGrid.build(40, 40, tile=16, overlap=4, scale=1, tile_chunk=3)
+    o1 = np.asarray(tiled_apply(_identity, x, g1))
+    o2 = np.asarray(tiled_apply(_identity, x, g2))
+    np.testing.assert_allclose(o1, o2, atol=1e-6)
+
+
+def test_norm_vectors_positive():
+    g = TileGrid.build(100, 100, tile=32, overlap=8, scale=4)
+    nr = g.rows.norm(4, g.mode, g.halo, g.overlap)
+    nc = g.cols.norm(4, g.mode, g.halo, g.overlap)
+    assert (nr > 1e-5).all() and (nc > 1e-5).all()

@@ -1,0 +1,169 @@
+"""Command-line interface.
+
+Preserves the reference CLI surface verbatim (video_upscaler.py:629-762) —
+every documented invocation of the reference works here — and adds the
+flags its README advertises but its code lacks (SURVEY.md §2.5):
+``--anime-mode``, ``--denoise``, ``--sharpen``, ``--no-seamless``,
+``--no-temporal``, ``--no-color-enhance``, ``--format``/H.265, the
+RealESRGAN_x2plus model, plus TPU-specific ``--devices``/``--precision``
+and resilience flags (``--resume``, ``--segment-frames``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from video_restore_tpu.config import (
+    MODEL_NAMES,
+    RestoreConfig,
+    X264_PRESETS,
+    apply_quality_preset,
+)
+from video_restore_tpu.utils.logging import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-restore",
+        description="TPU-native AI video upscaler (Real-ESRGAN family)",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""
+Examples:
+  video-restore input.mp4 output.mp4
+  video-restore input.mp4 output.mp4 --quality max --enhanced
+  video-restore input.mp4 output.mp4 --model RealESRGAN_x4plus_anime_6B
+  video-restore input.mp4 output.mp4 --model RealESRGAN_x2plus
+  video-restore in_dir/ out_dir/ --batch --quality fast
+  video-restore clip.y4m out.y4m --segment-frames 64 --resume
+""",
+    )
+    # positional (video_upscaler.py:649-650)
+    p.add_argument("input", help="input video file (or directory with --batch)")
+    p.add_argument("output", help="output video file (or directory with --batch)")
+    # reference flags (video_upscaler.py:652-682)
+    p.add_argument("--model", default="RealESRGAN_x4plus", choices=MODEL_NAMES)
+    p.add_argument(
+        "--devices", "--gpus", dest="devices", type=int, default=0,
+        help="number of TPU devices to shard frames across (0 = all)",
+    )
+    p.add_argument("--quality", default="balanced",
+                   choices=["fast", "balanced", "max"])
+    p.add_argument("--enhanced", action="store_true",
+                   help="enable the enhancement stack (denoise/CLAHE/"
+                        "unsharp/temporal)")
+    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--tile-overlap", type=int, default=None)
+    p.add_argument("--crf", type=int, default=None)
+    p.add_argument("--preset", default=None, choices=list(X264_PRESETS))
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--batch", action="store_true",
+                   help="process a directory of videos")
+    # advertised-but-unimplemented reference features (SURVEY.md §2.5)
+    p.add_argument("--anime-mode", action="store_true",
+                   help="anime-tuned model + post settings (README.md:161)")
+    p.add_argument("--denoise", type=float, default=None, metavar="0..1",
+                   help="bilateral denoise strength (0.5 = reference's "
+                        "fixed 5/25/25 filter)")
+    p.add_argument("--sharpen", type=float, default=None, metavar="0..1",
+                   help="unsharp-mask strength")
+    p.add_argument("--no-seamless", action="store_true",
+                   help="legacy pad-and-crop tiling (RealESRGANer parity)")
+    p.add_argument("--no-temporal", action="store_true",
+                   help="disable temporal consistency")
+    p.add_argument("--no-color-enhance", action="store_true",
+                   help="disable CLAHE color correction")
+    p.add_argument("--format", dest="vformat", default=None,
+                   choices=["h264", "h265", "mpeg4", "rawvideo"],
+                   help="output video codec (h265 per README.md:250)")
+    p.add_argument("--outscale", type=float, default=0.0,
+                   help="final upscale factor (Lanczos-resized from the "
+                        "model's native scale)")
+    # TPU / framework flags
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--frames-per-batch", type=int, default=0,
+                   help="frames per device per step (0 = 1)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a partially-encoded .y4m output")
+    p.add_argument("--segment-frames", type=int, default=0,
+                   help="checkpoint interval in frames (enables resume)")
+    p.add_argument("--models-dir", default="models")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--log-json", default=None, metavar="FILE",
+                   help="also write JSON-lines logs to FILE")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> RestoreConfig:
+    crf, preset, tile, overlap = apply_quality_preset(
+        args.quality, args.enhanced,
+        crf=args.crf, preset=args.preset,
+        tile_size=args.tile_size, tile_overlap=args.tile_overlap,
+    )
+    enhanced = args.enhanced or args.anime_mode
+    # --enhanced implies the reference's light_denoise (video_upscaler.py:714)
+    denoise = args.denoise if args.denoise is not None else (
+        0.5 if args.enhanced else 0.0
+    )
+    sharpen = args.sharpen if args.sharpen is not None else 0.0
+    return RestoreConfig(
+        model_name=args.model,
+        tile_size=tile,
+        tile_overlap=overlap,
+        seamless=not args.no_seamless,
+        legacy_tiling=args.no_seamless,
+        precision=args.precision,
+        enhanced_mode=enhanced,
+        denoise=denoise,
+        sharpen=sharpen,
+        temporal=not args.no_temporal,
+        color_enhance=not args.no_color_enhance,
+        anime_mode=args.anime_mode,
+        video_codec=args.vformat or "h264",
+        crf=crf,
+        preset=preset,
+        audio_copy=not args.no_audio,
+        num_devices=args.devices,
+        frames_per_batch=args.frames_per_batch,
+        resume=args.resume,
+        segment_frames=args.segment_frames,
+        models_dir=args.models_dir,
+        verbose=args.verbose,
+        outscale=args.outscale,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    log = setup_logging(args.verbose, args.log_json)
+    try:
+        config = config_from_args(args)
+    except ValueError as e:
+        log.error("%s", e)
+        return 1
+
+    if not Path(args.input).exists():
+        log.error("input not found: %s", args.input)
+        return 1
+
+    from video_restore_tpu.pipeline.runner import VideoRestorer
+
+    try:
+        restorer = VideoRestorer(config)
+    except (RuntimeError, FileNotFoundError) as e:  # e.g. weights unavailable
+        log.error("%s", e)
+        return 1
+    try:
+        if args.batch:
+            ok, total = restorer.process_batch_dir(args.input, args.output)
+            log.info("batch complete: %d/%d succeeded", ok, total)
+            return 0 if ok == total and total > 0 else 1
+        return 0 if restorer.process_video(args.input, args.output) else 1
+    except KeyboardInterrupt:  # video_upscaler.py:754-756
+        log.warning("interrupted")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""SRVGGNetCompact (realesr-general-x4v3) as a pure-functional JAX model.
+
+Independent re-implementation of the compact VGG-style SR net the reference
+configures at /root/reference/video_upscaler.py:316-318:
+``SRVGGNetCompact(3, 3, num_feat=64, num_conv=32, upscale=4, act_type='prelu')``.
+
+Architecture (from the published Real-ESRGAN v3 design and checkpoint
+shapes): input conv + PReLU, ``num_conv`` x (3x3 conv + PReLU) at LR
+resolution, output conv to ``out_ch * upscale**2`` channels, pixel-shuffle,
+plus a nearest-upsampled input residual.
+
+The ``num_conv`` identical body convs are stacked and run with ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from video_restore_tpu.ops.conv import conv2d, pixel_shuffle, prelu, upsample_nearest
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SRVGGSpec:
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_conv: int = 32
+    scale: int = 4
+
+
+def _conv_init(key, cin, cout, dtype):
+    fan_in = 9 * cin
+    std = (2.0 / fan_in) ** 0.5 * 0.1
+    return {
+        "w": jax.random.normal(key, (3, 3, cin, cout), dtype) * std,
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def init_srvgg(key: jax.Array, spec: SRVGGSpec, dtype=jnp.float32) -> Params:
+    nf = spec.num_feat
+    keys = jax.random.split(key, spec.num_conv + 2)
+    body = [
+        {**_conv_init(keys[i + 1], nf, nf, dtype), "alpha": jnp.full((nf,), 0.25, dtype)}
+        for i in range(spec.num_conv)
+    ]
+    return {
+        "conv_in": _conv_init(keys[0], spec.num_in_ch, nf, dtype),
+        "alpha_in": jnp.full((nf,), 0.25, dtype),
+        "body": jax.tree.map(lambda *xs: jnp.stack(xs), *body),
+        "conv_out": _conv_init(
+            keys[-1], nf, spec.num_out_ch * spec.scale**2, dtype
+        ),
+    }
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def _apply(params: Params, x: jax.Array, scale: int) -> jax.Array:
+    feat = prelu(
+        conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"]),
+        params["alpha_in"],
+    )
+
+    def step(h, bp):
+        return prelu(conv2d(h, bp["w"], bp["b"]), bp["alpha"]), None
+
+    feat, _ = lax.scan(step, feat, params["body"])
+    out = conv2d(feat, params["conv_out"]["w"], params["conv_out"]["b"])
+    out = pixel_shuffle(out, scale)
+    return out + upsample_nearest(x, scale)
+
+
+def apply_srvgg(params: Params, x: jax.Array, spec: SRVGGSpec) -> jax.Array:
+    """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3)."""
+    return _apply(params, x, spec.scale)

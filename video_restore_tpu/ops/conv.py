@@ -1,0 +1,85 @@
+"""Convolution and layout primitives in NHWC (TPU-native layout).
+
+The reference delegates all of this to cuDNN via torch (SURVEY.md §2.3); here
+every op is a pure function lowered by XLA onto the MXU. Conventions:
+
+- Activations: NHWC (batch, height, width, channel) — the layout XLA:TPU
+  tiles best (channels on the 128-lane minor dimension).
+- Weights: HWIO (kh, kw, in_ch, out_ch).
+- Mixed precision: inputs/weights may be bf16; convs accumulate in fp32 on
+  the MXU (``preferred_element_type``) and cast back to the activation dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: str | int = "SAME",
+) -> jax.Array:
+    """2D convolution, NHWC x HWIO -> NHWC, fp32 MXU accumulation."""
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = padding
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    """LeakyReLU with the ESRGAN slope of 0.2 (basicsr RRDB default)."""
+    return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))
+
+
+def prelu(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Channel-wise PReLU (SRVGGNetCompact act_type='prelu',
+    video_upscaler.py:316-318). ``alpha`` has shape (C,)."""
+    return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Depth-to-space, NHWC. Channel ordering matches torch.nn.PixelShuffle
+    (C_out-major, then r*r block row-major) so converted torch weights
+    reproduce identical outputs."""
+    n, h, w, c = x.shape
+    c_out = c // (r * r)
+    # torch layout: channels ordered as (c_out, r, r)
+    x = x.reshape(n, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, c_out
+    return x.reshape(n, h * r, w * r, c_out)
+
+
+def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
+    """Space-to-depth, NHWC; inverse of :func:`pixel_shuffle`. Used by
+    RRDBNet for scale=2 (input becomes 12-channel; basicsr rrdbnet_arch)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # n, h/r, w/r, c, r, r
+    return x.reshape(n, h // r, w // r, c * r * r)
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbour upsample, NHWC (torch F.interpolate mode='nearest',
+    the upsampling used between RRDBNet conv_up stages)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, factor, w, factor, c)
+    )
+    return x.reshape(n, h * factor, w * factor, c)

@@ -1,0 +1,196 @@
+"""Sharded, fused restoration step.
+
+One jitted program per (resolution bucket, config): uint8 frames in ->
+uint8 frames out, with the full enhancement stack fused on-device:
+
+    u8 -> f32/255 -> [bilateral denoise] -> tiled model (bf16 MXU) ->
+    [CLAHE] -> [unsharp] -> [temporal EMA] -> u8
+
+The frame batch axis is sharded over the mesh's ``data`` axis; params are
+replicated. Frames are independent, so XLA inserts no collectives — this is
+the TPU-native replacement for the reference's per-GPU threads + shared
+queue (which silently drop frames, SURVEY.md §2.6 #1). Transfers move uint8
+(4x less host<->device traffic than float32).
+
+Temporal consistency note: the EMA is sequential in time. Each device scans
+its own contiguous chunk of frames (lax.scan over the per-device time axis),
+and the host carries the boundary frame between successive *batches* so a
+single-device run is exactly sequential. With D > 1 devices the EMA restarts
+at intra-batch chunk boundaries — a deliberate parallel-friendly
+approximation (the motion-adaptive weight makes restarts invisible; the
+reference has no temporal processing at all).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_restore_tpu.config import RestoreConfig
+from video_restore_tpu.models.zoo import ModelHandle
+from video_restore_tpu.ops.post import bilateral_filter, clahe, unsharp_mask
+from video_restore_tpu.ops.tiles import TileGrid, tiled_apply
+from video_restore_tpu.parallel.mesh import frame_mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static (hashable) slice of RestoreConfig that shapes the program."""
+
+    denoise: float = 0.0
+    sharpen: float = 0.0
+    color_enhance: bool = False
+    clahe_clip: float = 2.0
+    temporal: bool = False
+    temporal_strength: float = 0.3
+
+    @staticmethod
+    def from_config(cfg: RestoreConfig) -> "StepConfig":
+        if not cfg.enhanced_mode:
+            return StepConfig()
+        return StepConfig(
+            denoise=cfg.denoise,
+            sharpen=cfg.sharpen,
+            color_enhance=cfg.color_enhance,
+            clahe_clip=cfg.clahe_clip,
+            temporal=cfg.temporal,
+            temporal_strength=cfg.temporal_strength,
+        )
+
+
+def restore_step(
+    params: Any,
+    frames_u8: jax.Array,
+    carry: jax.Array,
+    *,
+    model_apply,
+    grid: TileGrid,
+    step_cfg: StepConfig,
+    compute_dtype,
+    n_shards: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, W, 3) uint8 -> (B, H*s, W*s, 3) uint8 + temporal carry.
+
+    carry: (n_shards, H*s, W*s, 3) uint8 — last output frame per device
+    chunk; all-zeros means "no previous frame" (stream start).
+    """
+    x = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+    if step_cfg.denoise > 0:
+        # reference pre-filter: cv2.bilateralFilter(frame, 5, 25, 25) at
+        # video_upscaler.py:496; strength 0.5 reproduces those sigmas.
+        sig = 50.0 * step_cfg.denoise
+        x = bilateral_filter(x, 5, sig, sig)
+
+    x = x.astype(compute_dtype)
+    y = tiled_apply(lambda t: model_apply(params, t), x, grid)  # fp32
+
+    if step_cfg.color_enhance:
+        y = clahe(y, step_cfg.clahe_clip)
+    if step_cfg.sharpen > 0:
+        y = unsharp_mask(y, amount=step_cfg.sharpen, sigma=1.5, radius=4)
+
+    if step_cfg.temporal:
+        b = y.shape[0]
+        k = b // n_shards
+        yc = y.reshape((n_shards, k) + y.shape[1:])
+        prev = carry.astype(jnp.float32) * (1.0 / 255.0)
+        has_prev = jnp.any(carry > 0)
+        prev = jnp.where(has_prev, prev, yc[:, 0])
+        # scan over the per-device time axis; devices advance in lockstep
+        yt = jnp.moveaxis(yc, 1, 0)  # (k, D, Hs, Ws, C)
+
+        # EMA elementwise over the (sharded) device axis, scanned over time
+        def scan_fn(c, fr):
+            diff = jnp.abs(fr - c).mean(axis=-1, keepdims=True)
+            w = step_cfg.temporal_strength * jnp.exp(-diff / 0.05)
+            out = (1.0 - w) * fr + w * c
+            return out, out
+
+        last, outs = jax.lax.scan(scan_fn, prev, yt)
+        y = jnp.moveaxis(outs, 0, 1).reshape(y.shape)
+        new_carry = jnp.clip(jnp.round(last * 255.0), 0, 255).astype(jnp.uint8)
+    else:
+        new_carry = carry
+
+    out_u8 = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+    return out_u8, new_carry
+
+
+class ShardedUpscaler:
+    """Compiled, mesh-sharded restoration step for one resolution bucket."""
+
+    def __init__(
+        self,
+        model: ModelHandle,
+        grid: TileGrid,
+        cfg: RestoreConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.mesh = mesh if mesh is not None else frame_mesh(cfg.num_devices)
+        self.n_devices = self.mesh.devices.size
+        self.grid = grid
+        self.scale = grid.scale
+        self.step_cfg = StepConfig.from_config(cfg)
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        )
+        axis = self.mesh.axis_names[0]
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._shard0 = NamedSharding(self.mesh, P(axis))
+        self.params = jax.device_put(
+            model.cast(self.compute_dtype).params, self._repl
+        )
+        model_apply = model.apply_fn()
+
+        fn = partial(
+            restore_step,
+            model_apply=model_apply,
+            grid=grid,
+            step_cfg=self.step_cfg,
+            compute_dtype=self.compute_dtype,
+            n_shards=self.n_devices,
+        )
+        self._step = jax.jit(
+            fn,
+            in_shardings=(self._repl, self._shard0, self._shard0),
+            out_shardings=(self._shard0, self._shard0),
+            donate_argnums=(2,),
+        )
+        self._carry = None
+
+    @property
+    def frames_per_batch(self) -> int:
+        return self.n_devices
+
+    def reset_temporal(self) -> None:
+        self._carry = None
+
+    def _init_carry(self) -> jax.Array:
+        hs = self.grid.height * self.scale
+        ws = self.grid.width * self.scale
+        z = jnp.zeros((self.n_devices, hs, ws, 3), jnp.uint8)
+        return jax.device_put(z, self._shard0)
+
+    def process_batch(self, frames_u8: np.ndarray) -> jax.Array:
+        """frames_u8: (B, H, W, 3) uint8, B divisible by n_devices. Returns a
+        device array (B, H*s, W*s, 3) uint8 (async — call np.asarray to
+        fetch); dispatch returns immediately so the host can overlap
+        decode/encode with TPU compute."""
+        b = frames_u8.shape[0]
+        if b % self.n_devices:
+            raise ValueError(
+                f"batch {b} not divisible by {self.n_devices} devices"
+            )
+        if self._carry is None:
+            self._carry = self._init_carry()
+        x = jax.device_put(jnp.asarray(frames_u8), self._shard0)
+        out, self._carry = self._step(self.params, x, self._carry)
+        return out

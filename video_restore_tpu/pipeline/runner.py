@@ -1,0 +1,398 @@
+"""Pipeline orchestrator: decode -> sharded TPU inference -> ordered encode.
+
+Replaces the reference's thread/queue pipeline (SURVEY.md C9-C13;
+/root/reference/video_upscaler.py:369-570) with a design that has no
+cross-thread mutable state races:
+
+- one decode thread feeding a bounded queue (backpressure, like the
+  reference's prefetch_frames=32 input queue at video_upscaler.py:153);
+- a single dispatcher on the main thread packs frames into batches whose
+  leading axis is sharded over the device mesh and dispatches asynchronously
+  (JAX async dispatch = the double-buffered feed; up to
+  ``max_inflight_batches`` batches overlap host I/O with TPU compute);
+- outputs return in dispatch order, so encoding needs **no reorder buffer**
+  (the reference needs one — PriorityQueue + dict — only because its racing
+  workers can finish out of order, and it still drops frames, §2.6 #1);
+- frame accounting (decoded == inferred == encoded) is asserted at the end
+  (SURVEY.md §5 race-detection equivalent).
+
+Resilience (absent in the reference, SURVEY.md §5): optional segmented
+output with a progress manifest enables resuming a killed job; Ctrl-C
+finalizes the container cleanly instead of leaving a corrupt file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import threading
+import time
+from collections import deque
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from video_restore_tpu.config import RestoreConfig
+from video_restore_tpu.models.zoo import ModelHandle, get_model
+from video_restore_tpu.ops.tiles import TileGrid, auto_tile_chunk
+from video_restore_tpu.parallel.dispatch import ShardedUpscaler
+from video_restore_tpu.parallel.mesh import frame_mesh
+from video_restore_tpu.pipeline.progress import Progress
+from video_restore_tpu.utils.logging import get_logger
+from video_restore_tpu.video import (
+    copy_audio,
+    open_reader,
+    open_writer,
+    probe,
+)
+
+log = get_logger()
+
+_SENTINEL = object()
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    decoded: int = 0
+    inferred: int = 0
+    encoded: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.encoded / self.wall_s if self.wall_s > 0 else 0.0
+
+
+class _DecodeThread(threading.Thread):
+    """Producer: reader -> bounded queue (backpressure)."""
+
+    def __init__(self, reader, q: queue.Queue, skip: int = 0):
+        super().__init__(daemon=True, name="decode")
+        self.reader = reader
+        self.q = q
+        self.skip = skip
+        self.decoded = 0
+        self.error: Optional[BaseException] = None
+        self._stop_event = threading.Event()
+
+    def run(self) -> None:
+        try:
+            for i, frame in enumerate(self.reader):
+                if self._stop_event.is_set():
+                    break
+                if i < self.skip:
+                    continue
+                self.q.put(frame)
+                self.decoded += 1
+        except BaseException as e:  # surfaced by the consumer
+            self.error = e
+        finally:
+            self.q.put(_SENTINEL)
+
+    def stop(self) -> None:
+        self._stop_event.set()
+        # drain so a blocked put() can finish
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class VideoRestorer:
+    """End-to-end restorer; models stay resident across videos (the
+    reference loads models once in __init__ too, video_upscaler.py:286-291).
+    """
+
+    def __init__(
+        self,
+        config: RestoreConfig,
+        model: Optional[ModelHandle] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.mesh = mesh if mesh is not None else frame_mesh(config.num_devices)
+        if model is None:
+            model = get_model(
+                config.model_name,
+                config.models_dir,
+                allow_random=os.environ.get("VRT_ALLOW_RANDOM_WEIGHTS") == "1",
+            )
+        self.model = model
+        if model.scale != config.scale:
+            # explicit model handle overrides the name-derived scale (the
+            # reference instead *forces* scale=4, video_upscaler.py:718)
+            if config.outscale == float(config.scale):
+                config.outscale = float(model.scale)
+            config.scale = model.scale
+        self._upscalers = {}  # (H, W) resolution bucket -> ShardedUpscaler
+        n = self.mesh.devices.size
+        log.info(
+            "model=%s scale=%dx devices=%d tile=%d overlap=%d precision=%s "
+            "enhanced=%s",
+            model.name, model.scale, n, config.tile_size,
+            config.tile_overlap, config.precision, config.enhanced_mode,
+        )
+
+    # ------------------------------------------------------------------
+    def _upscaler_for(self, height: int, width: int) -> ShardedUpscaler:
+        key = (height, width)
+        if key not in self._upscalers:
+            cfg = self.config
+            grid = TileGrid.build(
+                height, width,
+                tile=cfg.tile_size,
+                overlap=cfg.tile_overlap,
+                scale=self.model.scale,
+                mode="legacy" if cfg.legacy_tiling else "seamless",
+            )
+            chunk = cfg.tile_chunk
+            if chunk == 0:
+                chunk = auto_tile_chunk(
+                    grid.rows.extract, grid.cols.extract,
+                    grid.scale, grid.n_tiles,
+                )
+            if chunk != grid.tile_chunk:
+                grid = dataclasses.replace(grid, tile_chunk=chunk)
+            log.debug(
+                "compiled bucket %dx%d: %d tiles of %s", width, height,
+                grid.n_tiles, grid.tile_shape,
+            )
+            self._upscalers[key] = ShardedUpscaler(
+                self.model, grid, cfg, self.mesh
+            )
+        return self._upscalers[key]
+
+    # ------------------------------------------------------------------
+    def process_video(
+        self,
+        input_path: Union[str, Path],
+        output_path: Union[str, Path],
+        *,
+        show_progress: bool = True,
+    ) -> bool:
+        """Restore one video; returns success (reference process_video
+        contract, video_upscaler.py:369-428)."""
+        cfg = self.config
+        t0 = time.time()
+        try:
+            stats = self._run(input_path, output_path, show_progress)
+        except KeyboardInterrupt:
+            log.warning("interrupted — output finalized with partial frames")
+            return False
+        except Exception:
+            log.exception("pipeline failed for %s", input_path)
+            return False
+        stats.wall_s = time.time() - t0
+        n = self.mesh.devices.size
+        log.info(
+            "done: %d frames in %.1fs (%.2f fps, %.2f fps/chip)",
+            stats.encoded, stats.wall_s, stats.fps, stats.fps / n,
+        )
+        if stats.decoded != stats.encoded:
+            log.error(
+                "frame accounting mismatch: decoded=%d encoded=%d",
+                stats.decoded, stats.encoded,
+            )
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+    def _run(
+        self,
+        input_path: Union[str, Path],
+        output_path: Union[str, Path],
+        show_progress: bool,
+    ) -> PipelineStats:
+        cfg = self.config
+        info = probe(input_path)
+        scale = self.model.scale
+        out_w = int(info.width * cfg.outscale)
+        out_h = int(info.height * cfg.outscale)
+        log.info(
+            "input %dx%d -> output %dx%d  (%d frames @ %.2f fps)",
+            info.width, info.height, out_w, out_h, info.frames, info.fps,
+        )
+
+        ups = self._upscaler_for(info.height, info.width)
+        ups.reset_temporal()
+        batch = ups.frames_per_batch * max(cfg.frames_per_batch, 1)
+
+        # resume bookkeeping (segments)
+        skip, segment_paths, manifest_path = self._resume_state(output_path)
+        stats = PipelineStats(encoded=0)
+
+        reader = open_reader(input_path)
+        q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_frames, batch))
+        decoder = _DecodeThread(reader, q, skip=skip)
+        decoder.start()
+
+        writer = self._open_writer(output_path, out_w, out_h, info.fps)
+        progress = Progress(info.frames, enabled=show_progress)
+        if skip:
+            progress.update(skip)
+
+        inflight: deque = deque()  # (device_array, valid_count)
+        resize = self._resizer(out_w, out_h, scale, info)
+
+        def drain_one():
+            out, valid = inflight.popleft()
+            arr = np.asarray(out)  # D2H (async result)
+            for f in arr[:valid]:
+                writer.write(resize(f))
+            stats.encoded += valid
+            stats.inferred += valid
+            progress.update(valid)
+            self._checkpoint(manifest_path, segment_paths, stats.encoded + skip)
+
+        pending: List[np.ndarray] = []
+        eof = False
+        try:
+            while not eof or pending or inflight:
+                # fill a batch
+                while not eof and len(pending) < batch:
+                    item = q.get()
+                    if item is _SENTINEL:
+                        eof = True
+                        if decoder.error:
+                            raise RuntimeError(
+                                f"decode failed: {decoder.error}"
+                            ) from decoder.error
+                        break
+                    pending.append(item)
+                if pending and (len(pending) == batch or eof):
+                    valid = len(pending)
+                    frames = pending
+                    if valid < batch:  # pad final batch with last frame
+                        frames = frames + [frames[-1]] * (batch - valid)
+                    x = np.stack(frames)
+                    pending = []
+                    inflight.append((ups.process_batch(x), valid))
+                while len(inflight) > (
+                    0 if (eof and not pending) else cfg.max_inflight_batches - 1
+                ):
+                    if not inflight:
+                        break
+                    drain_one()
+        finally:
+            decoder.stop()
+            decoder.join(timeout=10)
+            writer.close()
+            progress.close()
+            reader.close()
+
+        stats.decoded = decoder.decoded + skip
+        stats.encoded += skip
+
+        self._finalize_segments(output_path, segment_paths, manifest_path)
+        if cfg.audio_copy:
+            copy_audio(input_path, output_path)
+        return stats
+
+    # ------------------------------------------------------------------
+    def _resizer(self, out_w, out_h, scale, info):
+        """Host-side Lanczos resize when outscale != model scale (the
+        reference's RealESRGANer outscale behaviour, SURVEY.md §2.2)."""
+        if out_w == info.width * scale and out_h == info.height * scale:
+            return lambda f: f
+        import cv2
+
+        return lambda f: cv2.resize(
+            f, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4
+        )
+
+    # ------------------------------------------------------------------
+    def _open_writer(self, output_path, w, h, fps):
+        cfg = self.config
+        self._segment_writer = None
+        if cfg.segment_frames > 0 and str(output_path).endswith(".y4m"):
+            # segmented writing handled by Y4M append mode
+            from video_restore_tpu.video.y4m import Y4MWriter
+
+            return Y4MWriter(output_path, w, h, fps, append=cfg.resume)
+        codec = cfg.video_codec
+        return open_writer(
+            output_path, w, h, fps,
+            codec=codec, crf=cfg.crf, preset=cfg.preset,
+        )
+
+    def _resume_state(self, output_path) -> Tuple[int, list, Optional[Path]]:
+        cfg = self.config
+        if cfg.segment_frames <= 0 or not str(output_path).endswith(".y4m"):
+            if cfg.resume:
+                log.warning(
+                    "resume requires --segment-frames and a .y4m output; "
+                    "starting from frame 0"
+                )
+            return 0, [], None
+        manifest = Path(str(output_path) + ".progress.json")
+        if cfg.resume and os.path.exists(output_path):
+            # The y4m file itself is the source of truth: fixed-size frames,
+            # so the completed-frame count is exact even after a crash. Trim
+            # any truncated partial frame, then continue appending.
+            done = self._trim_partial_y4m(output_path)
+            log.info("resuming at frame %d", done)
+            return done, [], manifest
+        if manifest.exists():
+            manifest.unlink()
+        if os.path.exists(output_path) and not cfg.resume:
+            os.remove(output_path)
+        return 0, [], manifest
+
+    @staticmethod
+    def _trim_partial_y4m(path) -> int:
+        """Truncate a crashed y4m output to the last complete frame;
+        returns the number of complete frames."""
+        from video_restore_tpu.video.y4m import Y4MReader, _plane_shapes
+
+        with Y4MReader(path) as r:
+            info = r.info
+            ys, cs = _plane_shapes(info.width, info.height, r._colorspace)
+        frame_bytes = len(b"FRAME\n") + ys[0] * ys[1] + 2 * cs[0] * cs[1]
+        with open(path, "rb") as f:
+            header = len(f.readline())
+        size = os.path.getsize(path)
+        frames = (size - header) // frame_bytes
+        keep = header + frames * frame_bytes
+        if keep < size:
+            with open(path, "ab") as f:
+                f.truncate(keep)
+        return frames
+
+    def _checkpoint(self, manifest_path, segment_paths, frames_done: int):
+        cfg = self.config
+        if manifest_path is None or cfg.segment_frames <= 0:
+            return
+        manifest_path.write_text(json.dumps({"frames_done": frames_done}))
+
+    def _finalize_segments(self, output_path, segment_paths, manifest_path):
+        if manifest_path is not None and manifest_path.exists():
+            manifest_path.unlink()
+
+    # ------------------------------------------------------------------
+    def process_batch_dir(
+        self,
+        input_dir: Union[str, Path],
+        output_dir: Union[str, Path],
+        *,
+        show_progress: bool = True,
+    ) -> Tuple[int, int]:
+        """Batch directory mode (video_upscaler.py:723-746): process every
+        video in ``input_dir`` to ``output_dir/{stem}_upscaled{suffix}``.
+        Returns (succeeded, total)."""
+        exts = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".y4m", ".npz"}
+        videos = sorted(
+            p for p in Path(input_dir).iterdir() if p.suffix.lower() in exts
+        )
+        outdir = Path(output_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        ok = 0
+        for v in videos:
+            out = outdir / f"{v.stem}_upscaled{v.suffix}"
+            log.info("[batch] %s -> %s", v.name, out.name)
+            if self.process_video(v, out, show_progress=show_progress):
+                ok += 1
+        return ok, len(videos)
