@@ -1,0 +1,85 @@
+"""Degradation fixture generator + metrics harness tests."""
+
+import numpy as np
+import pytest
+
+from video_restore_tpu.metrics import compare_videos, frame_psnr, frame_ssim
+from video_restore_tpu.video.fixtures import (
+    PRESETS,
+    create_test_videos,
+    degrade_frames,
+    synth_source_clip,
+)
+
+
+def test_all_presets_run():
+    src = synth_source_clip(n_frames=6, height=144, width=256)
+    for name in PRESETS:
+        out = degrade_frames(src, name, seed=1)
+        assert out, name
+        assert out[0].dtype == np.uint8 and out[0].ndim == 3, name
+
+
+def test_degradations_actually_degrade():
+    """Each lossy preset must measurably reduce PSNR vs a same-size clean
+    resize of the source."""
+    import cv2
+
+    src = synth_source_clip(n_frames=2, height=288, width=512)
+    for name in ("heavy_compression", "vhs_style", "blurry_noisy",
+                 "damaged_film", "extreme_low_quality"):
+        deg = degrade_frames(src, name, seed=3)[0]
+        h, w = deg.shape[:2]
+        clean = cv2.resize(src[0], (w, h), interpolation=cv2.INTER_AREA)
+        p = frame_psnr(clean, deg)
+        assert p < 35, (name, p)
+
+
+def test_fps_reduction_presets():
+    src = synth_source_clip(n_frames=12, height=144, width=256)
+    out = degrade_frames(src, "old_webcam", seed=0)
+    assert len(out) == 6  # frame_step=2
+
+
+def test_create_test_videos_writes_clips(tmp_path):
+    paths = create_test_videos(
+        None, tmp_path, presets=["clean_144p", "vhs_style"], clip_frames=4
+    )
+    assert len(paths) == 2
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 0
+
+
+def test_metrics_harness(tmp_path, tiny_frames):
+    from video_restore_tpu.video import open_writer
+
+    a = tmp_path / "a.npz"
+    b = tmp_path / "b.npz"
+    noisy = np.clip(
+        tiny_frames.astype(int)
+        + np.random.default_rng(0).integers(-10, 10, tiny_frames.shape),
+        0, 255,
+    ).astype(np.uint8)
+    for path, frames in ((a, tiny_frames), (b, noisy)):
+        with open_writer(path, 64, 48, 25) as w:
+            for f in frames:
+                w.write(f)
+    same = compare_videos(str(a), str(a))
+    assert same["psnr_mean"] == float("inf") or same["psnr_mean"] > 60
+    assert same["ssim_mean"] > 0.999
+    diff = compare_videos(str(a), str(b))
+    assert 20 < diff["psnr_mean"] < 45
+    assert diff["frames"] == len(tiny_frames)
+
+
+def test_metrics_shape_mismatch(tmp_path, tiny_frames):
+    from video_restore_tpu.video import open_writer
+
+    a = tmp_path / "a.npz"
+    b = tmp_path / "b.npz"
+    with open_writer(a, 64, 48, 25) as w:
+        w.write(tiny_frames[0])
+    with open_writer(b, 32, 24, 25) as w:
+        w.write(tiny_frames[0][:24, :32])
+    with pytest.raises(ValueError):
+        compare_videos(str(a), str(b))

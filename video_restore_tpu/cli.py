@@ -88,7 +88,11 @@ Examples:
                    help="resume a partially-encoded .y4m output")
     p.add_argument("--segment-frames", type=int, default=0,
                    help="checkpoint interval in frames (enables resume)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (no TPU; config-1 parity mode)")
     p.add_argument("--models-dir", default="models")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture a jax.profiler device trace to DIR")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--log-json", default=None, metavar="FILE",
                    help="also write JSON-lines logs to FILE")
@@ -130,6 +134,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         segment_frames=args.segment_frames,
         models_dir=args.models_dir,
         verbose=args.verbose,
+        trace_dir=args.profile,
         outscale=args.outscale,
     )
 
@@ -137,6 +142,12 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = setup_logging(args.verbose, args.log_json)
+    if args.cpu:
+        import jax
+
+        # must happen before the first backend use; overrides any
+        # platform plugin the environment forces
+        jax.config.update("jax_platforms", "cpu")
     try:
         config = config_from_args(args)
     except ValueError as e:

@@ -99,6 +99,7 @@ class RestoreConfig:
     # --- misc ---
     models_dir: str = "models"
     verbose: bool = False
+    trace_dir: str = ""  # jax.profiler trace output dir ("" = off)
 
     def __post_init__(self) -> None:
         if self.model_name not in MODEL_NAMES:

@@ -1,0 +1,98 @@
+"""Video quality metrics harness: PSNR/SSIM between two videos.
+
+The parity instrument for BASELINE.md ("PSNR/SSIM parity vs the CUDA
+reference on the bundled clips"): compare an output video against a
+reference rendition frame by frame.
+
+CLI:  python -m video_restore_tpu.metrics ref.y4m test.y4m [--frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Dict, Iterable, Optional, Union
+
+import numpy as np
+
+from video_restore_tpu.video import open_reader
+
+
+def frame_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def frame_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Luma SSIM (Wang et al., 11x11 Gaussian window), pure numpy/scipy —
+    a host-side metric must not touch the accelerator (device compiles
+    through the TPU tunnel cost minutes)."""
+    from scipy.ndimage import gaussian_filter
+
+    def lum(x):
+        x = x.astype(np.float64) / 255.0
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    x, y = lum(a), lum(b)
+    sig, trunc = 1.5, 3.5 / 1.5  # 11-tap window
+    f = lambda im: gaussian_filter(im, sig, truncate=trunc, mode="nearest")
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = f(x), f(y)
+    sxx = f(x * x) - mu_x * mu_x
+    syy = f(y * y) - mu_y * mu_y
+    sxy = f(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
+    return float(np.mean(num / den))
+
+
+def compare_videos(
+    ref_path: str,
+    test_path: str,
+    max_frames: int = 0,
+    ssim_every: int = 1,
+) -> Dict[str, float]:
+    """Frame-aligned PSNR/SSIM. Raises if dimensions or counts mismatch."""
+    psnrs, ssims = [], []
+    with open_reader(ref_path) as ra, open_reader(test_path) as rb:
+        for i, (fa, fb) in enumerate(zip(ra, rb)):
+            if max_frames and i >= max_frames:
+                break
+            if fa.shape != fb.shape:
+                raise ValueError(
+                    f"frame {i}: shape mismatch {fa.shape} vs {fb.shape}"
+                )
+            psnrs.append(frame_psnr(fa, fb))
+            if i % ssim_every == 0:
+                ssims.append(frame_ssim(fa, fb))
+    if not psnrs:
+        raise ValueError("no overlapping frames")
+    finite = [p for p in psnrs if np.isfinite(p)]
+    return {
+        "frames": len(psnrs),
+        "psnr_mean": float(np.mean(finite)) if finite else float("inf"),
+        "psnr_min": float(np.min(finite)) if finite else float("inf"),
+        "ssim_mean": float(np.mean(ssims)),
+        "ssim_min": float(np.min(ssims)),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="PSNR/SSIM between two videos")
+    ap.add_argument("reference")
+    ap.add_argument("test")
+    ap.add_argument("--frames", type=int, default=0, help="limit frames")
+    ap.add_argument("--ssim-every", type=int, default=1)
+    args = ap.parse_args(argv)
+    result = compare_videos(
+        args.reference, args.test, args.frames, args.ssim_every
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

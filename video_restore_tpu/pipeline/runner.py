@@ -42,6 +42,7 @@ from video_restore_tpu.parallel.dispatch import ShardedUpscaler
 from video_restore_tpu.parallel.mesh import frame_mesh
 from video_restore_tpu.pipeline.progress import Progress
 from video_restore_tpu.utils.logging import get_logger
+from video_restore_tpu.utils.profiling import StageTimer, device_trace
 from video_restore_tpu.video import (
     copy_audio,
     open_reader,
@@ -179,7 +180,8 @@ class VideoRestorer:
         cfg = self.config
         t0 = time.time()
         try:
-            stats = self._run(input_path, output_path, show_progress)
+            with device_trace(getattr(cfg, "trace_dir", None)):
+                stats = self._run(input_path, output_path, show_progress)
         except KeyboardInterrupt:
             log.warning("interrupted — output finalized with partial frames")
             return False
@@ -237,12 +239,15 @@ class VideoRestorer:
 
         inflight: deque = deque()  # (device_array, valid_count)
         resize = self._resizer(out_w, out_h, scale, info)
+        timer = StageTimer()
 
         def drain_one():
             out, valid = inflight.popleft()
-            arr = np.asarray(out)  # D2H (async result)
-            for f in arr[:valid]:
-                writer.write(resize(f))
+            with timer.stage("fetch"):
+                arr = np.asarray(out)  # D2H (async result)
+            with timer.stage("encode"):
+                for f in arr[:valid]:
+                    writer.write(resize(f))
             stats.encoded += valid
             stats.inferred += valid
             progress.update(valid)
@@ -253,24 +258,26 @@ class VideoRestorer:
         try:
             while not eof or pending or inflight:
                 # fill a batch
-                while not eof and len(pending) < batch:
-                    item = q.get()
-                    if item is _SENTINEL:
-                        eof = True
-                        if decoder.error:
-                            raise RuntimeError(
-                                f"decode failed: {decoder.error}"
-                            ) from decoder.error
-                        break
-                    pending.append(item)
+                with timer.stage("decode-wait"):
+                    while not eof and len(pending) < batch:
+                        item = q.get()
+                        if item is _SENTINEL:
+                            eof = True
+                            if decoder.error:
+                                raise RuntimeError(
+                                    f"decode failed: {decoder.error}"
+                                ) from decoder.error
+                            break
+                        pending.append(item)
                 if pending and (len(pending) == batch or eof):
                     valid = len(pending)
                     frames = pending
                     if valid < batch:  # pad final batch with last frame
                         frames = frames + [frames[-1]] * (batch - valid)
-                    x = np.stack(frames)
-                    pending = []
-                    inflight.append((ups.process_batch(x), valid))
+                    with timer.stage("dispatch"):
+                        x = np.stack(frames)
+                        pending = []
+                        inflight.append((ups.process_batch(x), valid))
                 while len(inflight) > (
                     0 if (eof and not pending) else cfg.max_inflight_batches - 1
                 ):
@@ -283,6 +290,7 @@ class VideoRestorer:
             writer.close()
             progress.close()
             reader.close()
+        timer.log_summary()
 
         stats.decoded = decoder.decoded + skip
         stats.encoded += skip

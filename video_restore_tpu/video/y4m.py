@@ -25,7 +25,16 @@ _KR, _KG, _KB = 0.299, 0.587, 0.114
 def rgb_to_yuv_planes(
     rgb: np.ndarray, subsample: str = "420"
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(H, W, 3) uint8 RGB -> (Y, U, V) uint8 planes (studio range)."""
+    """(H, W, 3) uint8 RGB -> (Y, U, V) uint8 planes (studio range).
+
+    Uses the native fixed-point framecodec when available (~10x faster at
+    4K than the numpy float path below); both implement BT.601 studio
+    range and agree within 2 LSB."""
+    from video_restore_tpu.utils import native
+
+    nat = native.rgb_to_yuv(rgb, subsample)
+    if nat is not None:
+        return nat
     f = rgb.astype(np.float32) / 255.0
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = _KR * r + _KG * g + _KB * b
@@ -53,6 +62,11 @@ def yuv_planes_to_rgb(
     y: np.ndarray, u: np.ndarray, v: np.ndarray
 ) -> np.ndarray:
     """(Y, U, V) uint8 planes (any 4:2:0/4:2:2/4:4:4 layout) -> uint8 RGB."""
+    from video_restore_tpu.utils import native
+
+    nat = native.yuv_to_rgb(y, u, v)
+    if nat is not None:
+        return nat
     h, w = y.shape
     if u.shape != y.shape:  # upsample chroma (nearest)
         ry, rx = h // u.shape[0], w // u.shape[1]
