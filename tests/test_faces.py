@@ -1,0 +1,87 @@
+"""Face-region enhancement tests (cv2 Haar cascade based)."""
+
+import numpy as np
+import pytest
+
+from video_restore_tpu.ops.faces import (
+    FaceBox,
+    detect_faces,
+    enhance_face_regions,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _synthetic_face(size=200):
+    """Draw a crude frontal face the Haar cascade can find."""
+    img = np.full((size, size, 3), 180, np.uint8)
+    c = size // 2
+    cv2.ellipse(img, (c, c), (size // 3, int(size // 2.2)), 0, 0, 360,
+                (210, 190, 170), -1)
+    eye_y = c - size // 10
+    for ex in (c - size // 8, c + size // 8):
+        cv2.circle(img, (ex, eye_y), size // 18, (40, 40, 40), -1)
+    cv2.ellipse(img, (c, c + size // 6), (size // 10, size // 20), 0, 0, 180,
+                (80, 50, 50), 3)
+    cv2.line(img, (c, c - size // 30), (c, c + size // 12), (120, 90, 80), 2)
+    return img
+
+
+def test_detect_synthetic_face():
+    img = _synthetic_face()
+    faces = detect_faces(img)
+    # Haar cascades are finicky on synthetic imagery; accept detection OR
+    # gracefully-empty, but the call must not crash and boxes must be valid
+    for f in faces:
+        assert f.w > 0 and f.h > 0
+        assert 0 <= f.x < img.shape[1] and 0 <= f.y < img.shape[0]
+
+
+def test_enhance_regions_changes_only_faces(rng):
+    hr = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    box = FaceBox(10, 10, 20, 20)  # LR coords; scale 2 -> 20..60 px region
+    out = enhance_face_regions(hr, [box], scale=2, strength=0.8)
+    assert out.shape == hr.shape
+    region = slice(20, 60 + 10)  # expanded box
+    outside = out[100:, 120:]
+    np.testing.assert_array_equal(outside, hr[100:, 120:])
+    assert (out[20:60, 20:60] != hr[20:60, 20:60]).any()
+
+
+def test_enhance_no_faces_is_identity(rng):
+    hr = (rng.random((50, 50, 3)) * 255).astype(np.uint8)
+    out = enhance_face_regions(hr, [], scale=4)
+    np.testing.assert_array_equal(out, hr)
+
+
+def test_facebox_geometry():
+    b = FaceBox(10, 20, 30, 40)
+    s = b.scaled(2.0)
+    assert (s.x, s.y, s.w, s.h) == (20, 40, 60, 80)
+    e = b.expanded(0.5, width=100, height=100)
+    assert e.x <= b.x and e.y <= b.y
+    assert e.x + e.w <= 100 and e.y + e.h <= 100
+
+
+def test_pipeline_with_face_enhance(tmp_path, tiny_frames):
+    from video_restore_tpu.config import RestoreConfig
+    from video_restore_tpu.models.srvgg import SRVGGSpec, init_srvgg
+    from video_restore_tpu.models.zoo import ModelHandle
+    from video_restore_tpu.pipeline.runner import VideoRestorer
+    from video_restore_tpu.video import open_writer, probe
+    import jax
+
+    spec = SRVGGSpec(num_feat=8, num_conv=2, scale=2)
+    model = ModelHandle("tiny", spec, init_srvgg(jax.random.PRNGKey(0), spec))
+    src = tmp_path / "in.npz"
+    with open_writer(src, 64, 48, 25) as w:
+        for f in tiny_frames[:4]:
+            w.write(f)
+    cfg = RestoreConfig(
+        model_name="RealESRGAN_x4_v3", tile_size=16, tile_overlap=4,
+        precision="fp32", audio_copy=False, face_enhance=True,
+    )
+    r = VideoRestorer(cfg, model=model)
+    dst = tmp_path / "out.npz"
+    assert r.process_video(src, dst, show_progress=False)
+    assert probe(dst).frames == 4

@@ -68,6 +68,10 @@ Examples:
                         "fixed 5/25/25 filter)")
     p.add_argument("--sharpen", type=float, default=None, metavar="0..1",
                    help="unsharp-mask strength")
+    p.add_argument("--face-enhance", action="store_true",
+                   help="detect and enhance face regions (README.md:3 "
+                        "advertises GFPGAN; this is a detection+region-"
+                        "enhancement path, not a generative prior)")
     p.add_argument("--no-seamless", action="store_true",
                    help="legacy pad-and-crop tiling (RealESRGANer parity)")
     p.add_argument("--no-temporal", action="store_true",
@@ -124,6 +128,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         temporal=not args.no_temporal,
         color_enhance=not args.no_color_enhance,
         anime_mode=args.anime_mode,
+        face_enhance=args.face_enhance,
         video_codec=args.vformat or "h264",
         crf=crf,
         preset=preset,
@@ -142,12 +147,25 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = setup_logging(args.verbose, args.log_json)
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         # must happen before the first backend use; overrides any
         # platform plugin the environment forces
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compilation cache: first compile of a (model, tile,
+    # resolution) bucket can take minutes on TPU; later runs start instantly
+    import os as _os
+
+    cache = _os.environ.get(
+        "VRT_XLA_CACHE", _os.path.expanduser("~/.cache/video_restore_tpu/xla")
+    )
+    if cache:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     try:
         config = config_from_args(args)
     except ValueError as e:

@@ -74,7 +74,10 @@ class RestoreConfig:
     temporal_strength: float = 0.3
     color_enhance: bool = True  # CLAHE when enhanced (README.md:11)
     clahe_clip: float = 2.0
+    clahe_lr: bool = True  # apply CLAHE pre-upscale (16x cheaper, same look)
     anime_mode: bool = False  # README.md:161; selects anime model + tuned post
+    face_enhance: bool = False  # face-region enhancement (README.md:3 gap)
+    face_strength: float = 0.5
 
     # --- output encoding (video_upscaler.py:127-131) ---
     output_format: str = "mp4"

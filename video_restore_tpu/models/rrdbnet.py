@@ -37,6 +37,7 @@ from video_restore_tpu.ops.conv import (
     conv2d,
     leaky_relu,
     pixel_unshuffle,
+    upconv2x,
     upsample_nearest,
 )
 
@@ -111,7 +112,10 @@ def init_rrdbnet(key: jax.Array, spec: RRDBNetSpec, dtype=jnp.float32) -> Params
 
 
 def _rdb_apply(p: Params, x: jax.Array) -> jax.Array:
-    """Residual dense block: 5 growing convs, LeakyReLU(0.2), 0.2 residual."""
+    """Residual dense block: 5 growing convs, LeakyReLU(0.2), 0.2 residual.
+
+    Naive (torch-ordered) formulation; kept for parity testing. The
+    production path uses :func:`_rdb_apply_regrouped` (identical math)."""
     c1 = leaky_relu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]))
     c2 = leaky_relu(conv2d(jnp.concatenate([x, c1], -1), p["conv2"]["w"], p["conv2"]["b"]))
     c3 = leaky_relu(
@@ -126,6 +130,65 @@ def _rdb_apply(p: Params, x: jax.Array) -> jax.Array:
     return c5 * jnp.asarray(0.2, x.dtype) + x
 
 
+def _regroup_rdb_weights(p: Params, nf: int, gc: int):
+    """Regroup the 5 dense-block convs *by input source* instead of by
+    output.
+
+    conv_k consumes cat(x, c1, .., c_{k-1}); slicing each kernel by input
+    source and concatenating along output channels gives one wide conv per
+    source:
+
+        T_s = conv(source_s, [W_{s+1}^s | ... | W_5^s])
+
+    with output widths 192/160/128/96/64 instead of 15 convs of width
+    32/64. Identical FLOPs and math (fp summation reordered), but MXU
+    column occupancy goes from 25-50% to ~100% — the narrow Cout=32 convs
+    are the reason the naive form runs at ~10% of TPU peak.
+    """
+    ws = [p[f"conv{k}"]["w"] for k in range(1, 6)]  # (..., 3,3,Cin_k,Cout_k)
+
+    def src_slice(k, s):
+        # input-channel range of source s within conv_k's input
+        lo = 0 if s == 0 else nf + (s - 1) * gc
+        hi = nf if s == 0 else lo + gc
+        return ws[k][..., lo:hi, :]
+
+    grouped = []
+    for s in range(5):  # sources: x, c1, c2, c3, c4
+        parts = [src_slice(k, s) for k in range(s, 5)]
+        grouped.append(jnp.concatenate(parts, axis=-1))
+    biases = [p[f"conv{k}"]["b"] for k in range(1, 6)]
+    return grouped, biases
+
+
+def _rdb_apply_regrouped(tp: Params, x: jax.Array) -> jax.Array:
+    """Source-major RDB: 5 wide convs, no concats (see _regroup_rdb_weights).
+
+    tp: {"w": (w0..w4), "b": (b1..b5)} from _regroup_rdb_weights."""
+    w0, w1, w2, w3, w4 = tp["w"]
+    b1, b2, b3, b4, b5 = (b.astype(x.dtype) for b in tp["b"])
+    g = w1.shape[-2]  # num_grow_ch (input channels of the c1-source conv)
+    t0 = conv2d(x, w0)  # (..., 4*gc + nf)
+    c1 = leaky_relu(t0[..., :g] + b1)
+    t1 = conv2d(c1, w1)  # (..., 3*gc + nf)
+    c2 = leaky_relu(t0[..., g : 2 * g] + t1[..., :g] + b2)
+    t2 = conv2d(c2, w2)  # (..., 2*gc + nf)
+    c3 = leaky_relu(
+        t0[..., 2 * g : 3 * g] + t1[..., g : 2 * g] + t2[..., :g] + b3
+    )
+    t3 = conv2d(c3, w3)  # (..., gc + nf)
+    c4 = leaky_relu(
+        t0[..., 3 * g : 4 * g] + t1[..., 2 * g : 3 * g]
+        + t2[..., g : 2 * g] + t3[..., :g] + b4
+    )
+    t4 = conv2d(c4, w4)  # (..., nf)
+    c5 = (
+        t0[..., 4 * g :] + t1[..., 3 * g :] + t2[..., 2 * g :]
+        + t3[..., g:] + t4 + b5
+    )
+    return c5 * jnp.asarray(0.2, x.dtype) + x
+
+
 def _rrdb_apply(p: Params, x: jax.Array) -> jax.Array:
     out = _rdb_apply(p["rdb1"], x)
     out = _rdb_apply(p["rdb2"], out)
@@ -133,31 +196,112 @@ def _rrdb_apply(p: Params, x: jax.Array) -> jax.Array:
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
-@partial(jax.jit, static_argnames=("scale",))
-def _apply(params: Params, x: jax.Array, scale: int) -> jax.Array:
+def _rrdb_apply_regrouped(tp: Params, x: jax.Array) -> jax.Array:
+    out = _rdb_apply_regrouped(tp["rdb1"], x)
+    out = _rdb_apply_regrouped(tp["rdb2"], out)
+    out = _rdb_apply_regrouped(tp["rdb3"], out)
+    return out * jnp.asarray(0.2, x.dtype) + x
+
+
+def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
+    """RRDB via the fused Pallas RDB kernel (ops/pallas_rdb.py)."""
+    from video_restore_tpu.ops.pallas_rdb import rdb_fused
+
+    out = rdb_fused(x, tp["rdb1"]["w"], tp["rdb1"]["b"])
+    out = rdb_fused(out, tp["rdb2"]["w"], tp["rdb2"]["b"])
+    out = rdb_fused(out, tp["rdb3"]["w"], tp["rdb3"]["b"])
+    return out * jnp.asarray(0.2, x.dtype) + x
+
+
+def default_use_pallas() -> bool:
+    """Fused Pallas RDB on real TPUs; XLA path on CPU (tests) and when
+    VRT_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("VRT_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("scale", "naive", "use_pallas"))
+def _apply(
+    params: Params,
+    x: jax.Array,
+    scale: int,
+    naive: bool = False,
+    use_pallas: bool = False,
+) -> jax.Array:
     if scale == 2:
         x = pixel_unshuffle(x, 2)
     elif scale == 1:
         x = pixel_unshuffle(x, 4)
     feat = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
 
-    def block_step(h, bp):
-        return _rrdb_apply(bp, h), None
+    if naive:
+        def block_step(h, bp):
+            return _rrdb_apply(bp, h), None
 
-    body_out, _ = lax.scan(block_step, feat, params["body"])
+        body = params["body"]
+    else:
+        # one-time source-major regroup of the stacked body weights
+        # (operates on the (num_block, ...) stacked leaves directly)
+        nf = feat.shape[-1]
+        gc = params["body"]["rdb1"]["conv1"]["w"].shape[-1]
+        body = {}
+        for r in ("rdb1", "rdb2", "rdb3"):
+            ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+            body[r] = {"w": tuple(ws), "b": tuple(bs)}
+
+        rrdb_fn = _rrdb_apply_pallas if use_pallas else _rrdb_apply_regrouped
+
+        def block_step(h, bp):
+            return rrdb_fn(bp, h), None
+
+    body_out, _ = lax.scan(block_step, feat, body)
     body_out = conv2d(body_out, params["conv_body"]["w"], params["conv_body"]["b"])
     feat = feat + body_out
 
-    feat = leaky_relu(
-        conv2d(upsample_nearest(feat, 2), params["conv_up1"]["w"], params["conv_up1"]["b"])
-    )
-    feat = leaky_relu(
-        conv2d(upsample_nearest(feat, 2), params["conv_up2"]["w"], params["conv_up2"]["b"])
-    )
+    if naive:
+        feat = leaky_relu(
+            conv2d(
+                upsample_nearest(feat, 2),
+                params["conv_up1"]["w"], params["conv_up1"]["b"],
+            )
+        )
+        feat = leaky_relu(
+            conv2d(
+                upsample_nearest(feat, 2),
+                params["conv_up2"]["w"], params["conv_up2"]["b"],
+            )
+        )
+    else:
+        feat = leaky_relu(
+            upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
+        )
+        feat = leaky_relu(
+            upconv2x(feat, params["conv_up2"]["w"], params["conv_up2"]["b"])
+        )
     feat = leaky_relu(conv2d(feat, params["conv_hr"]["w"], params["conv_hr"]["b"]))
     return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
 
 
-def apply_rrdbnet(params: Params, x: jax.Array, spec: RRDBNetSpec) -> jax.Array:
-    """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3)."""
-    return _apply(params, x, spec.scale)
+def apply_rrdbnet(
+    params: Params,
+    x: jax.Array,
+    spec: RRDBNetSpec,
+    naive: bool = False,
+    use_pallas: "bool | None" = None,
+) -> jax.Array:
+    """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
+
+    ``naive=True`` uses the torch-ordered RDB formulation (parity testing).
+    The default source-major path computes identical values much faster on
+    TPU (MXU occupancy — see _regroup_rdb_weights); on real TPUs the RDB
+    additionally runs as a fused Pallas kernel (ops/pallas_rdb.py) unless
+    ``use_pallas=False`` or VRT_NO_PALLAS=1."""
+    if use_pallas is None:
+        use_pallas = not naive and default_use_pallas()
+    return _apply(params, x, spec.scale, naive, use_pallas)

@@ -75,6 +75,42 @@ def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(n, h // r, w // r, c * r * r)
 
 
+def upconv2x(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """Fused nearest-2x-upsample + 3x3 conv, computed at LR resolution.
+
+    Exactly equivalent to ``conv2d(upsample_nearest(x, 2), w, b)`` (the
+    RRDBNet conv_up stages): each of the 4 output phases (a, b) sees a 2x2
+    window of LR pixels whose effective kernel is a row/column-combined
+    version of the 3x3 kernel. 4 phase convs of 2x2 cost 16*Cin*Cout MACs
+    per LR pixel vs 36 for the naive form (2.25x fewer), and no upsampled
+    intermediate is ever materialized (the naive form's HR broadcast was
+    the largest allocation in the XLA memory profile, padded 2.7x).
+    """
+    wf = w.astype(x.dtype)
+    # combine kernel rows/cols: phase 0 -> [k0, k1+k2], phase 1 -> [k0+k1, k2]
+    r0 = jnp.stack([wf[0], wf[1] + wf[2]])  # (2, 3, Cin, Cout)
+    r1 = jnp.stack([wf[0] + wf[1], wf[2]])
+    phases = []
+    for a, ra in ((0, r0), (1, r1)):
+        c0 = jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1)  # (2,2,Ci,Co)
+        c1 = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
+        for bb, k in ((0, c0), (1, c1)):
+            pad = [(1 - a, a), (1 - bb, bb)]
+            y = lax.conv_general_dilated(
+                x, k, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            phases.append(y)
+    # interleave phases: out[2i+a, 2j+b] = phases[2a+b][i, j]
+    n, h, wd, c = phases[0].shape
+    out = jnp.stack(phases, axis=0).reshape(2, 2, n, h, wd, c)
+    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, c)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
     """Nearest-neighbour upsample, NHWC (torch F.interpolate mode='nearest',
     the upsampling used between RRDBNet conv_up stages)."""

@@ -237,16 +237,32 @@ class VideoRestorer:
         if skip:
             progress.update(skip)
 
-        inflight: deque = deque()  # (device_array, valid_count)
+        inflight: deque = deque()  # (device_array, valid_count, face_boxes)
         resize = self._resizer(out_w, out_h, scale, info)
         timer = StageTimer()
+        face_cfg = cfg.face_enhance
+
+        def detect_batch_faces(frames):
+            if not face_cfg:
+                return None
+            from video_restore_tpu.ops.faces import detect_faces
+
+            return [detect_faces(f) for f in frames]
 
         def drain_one():
-            out, valid = inflight.popleft()
+            out, valid, faces = inflight.popleft()
             with timer.stage("fetch"):
                 arr = np.asarray(out)  # D2H (async result)
             with timer.stage("encode"):
-                for f in arr[:valid]:
+                for i, f in enumerate(arr[:valid]):
+                    if faces is not None and faces[i]:
+                        from video_restore_tpu.ops.faces import (
+                            enhance_face_regions,
+                        )
+
+                        f = enhance_face_regions(
+                            f, faces[i], scale, cfg.face_strength
+                        )
                     writer.write(resize(f))
             stats.encoded += valid
             stats.inferred += valid
@@ -276,8 +292,9 @@ class VideoRestorer:
                         frames = frames + [frames[-1]] * (batch - valid)
                     with timer.stage("dispatch"):
                         x = np.stack(frames)
+                        faces = detect_batch_faces(frames[:valid])
                         pending = []
-                        inflight.append((ups.process_batch(x), valid))
+                        inflight.append((ups.process_batch(x), valid, faces))
                 while len(inflight) > (
                     0 if (eof and not pending) else cfg.max_inflight_batches - 1
                 ):
