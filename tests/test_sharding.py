@@ -103,6 +103,37 @@ def test_temporal_carry_single_device_sequential(tiny_frames):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_tile_sharded_matches_frame_sharded(tiny_frames):
+    """'tiles' shard mode (spatial parallelism) must produce the same
+    pixels as the frame-sharded mode."""
+    model = _tiny_model()
+    h, w = tiny_frames.shape[1:3]
+    grid = TileGrid.build(h, w, 16, 4, 2)
+    ups_t = ShardedUpscaler(
+        model, grid, _cfg(shard_mode="tiles"), frame_mesh(8)
+    )
+    ups_f = ShardedUpscaler(model, grid, _cfg(), frame_mesh(8))
+    out_f = np.asarray(ups_f.process_batch(tiny_frames))
+    outs_t = [
+        np.asarray(ups_t.process_batch(tiny_frames[i : i + 1]))[0]
+        for i in range(len(tiny_frames))
+    ]
+    for i in range(8):
+        diff = np.abs(out_f[i].astype(int) - outs_t[i].astype(int))
+        assert diff.max() <= 1, f"frame {i}: {diff.max()}"
+
+
+def test_tile_sharded_enhanced_runs(tiny_frames):
+    model = _tiny_model()
+    h, w = tiny_frames.shape[1:3]
+    grid = TileGrid.build(h, w, 16, 4, 2)
+    cfg = _cfg(shard_mode="tiles", enhanced_mode=True, temporal=True,
+               denoise=0.4)
+    ups = ShardedUpscaler(model, grid, cfg, frame_mesh(8))
+    out = np.asarray(ups.process_batch(tiny_frames[:1]))
+    assert out.shape == (1, h * 2, w * 2, 3)
+
+
 def test_batch_not_divisible_raises(tiny_frames):
     model = _tiny_model()
     grid = TileGrid.build(48, 64, 16, 4, 2)

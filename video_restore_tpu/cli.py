@@ -86,6 +86,11 @@ Examples:
                         "model's native scale)")
     # TPU / framework flags
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--shard-mode", default="frames",
+                   choices=["frames", "tiles"],
+                   help="frames: shard the frame batch across devices "
+                        "(throughput); tiles: all devices cooperate on one "
+                        "frame (latency + exact sequential temporal)")
     p.add_argument("--frames-per-batch", type=int, default=0,
                    help="frames per device per step (0 = 1)")
     p.add_argument("--resume", action="store_true",
@@ -134,6 +139,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         preset=preset,
         audio_copy=not args.no_audio,
         num_devices=args.devices,
+        shard_mode=args.shard_mode,
         frames_per_batch=args.frames_per_batch,
         resume=args.resume,
         segment_frames=args.segment_frames,

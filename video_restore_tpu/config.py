@@ -94,6 +94,10 @@ class RestoreConfig:
     # --- parallelism (replaces gpu_ids, video_upscaler.py:117-118) ---
     num_devices: int = 0  # 0 = all visible JAX devices
     data_axis: str = "data"
+    # 'frames': throughput mode, frame batch sharded over the mesh.
+    # 'tiles':  latency mode, every device works on one frame's tiles
+    #           (exact sequential temporal consistency as a bonus).
+    shard_mode: str = "frames"
 
     # --- resilience (absent in reference — SURVEY.md §5) ---
     resume: bool = False
@@ -126,6 +130,8 @@ class RestoreConfig:
             raise ValueError(f"preset must be one of {X264_PRESETS}")
         if self.video_codec not in VIDEO_CODECS:
             raise ValueError(f"video_codec must be one of {VIDEO_CODECS}")
+        if self.shard_mode not in ("frames", "tiles"):
+            raise ValueError("shard_mode must be 'frames' or 'tiles'")
 
     @property
     def post_enabled(self) -> bool:

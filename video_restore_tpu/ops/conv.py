@@ -87,25 +87,22 @@ def upconv2x(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Arra
     the largest allocation in the XLA memory profile, padded 2.7x).
     """
     wf = w.astype(x.dtype)
-    # combine kernel rows/cols: phase 0 -> [k0, k1+k2], phase 1 -> [k0+k1, k2]
-    r0 = jnp.stack([wf[0], wf[1] + wf[2]])  # (2, 3, Cin, Cout)
-    r1 = jnp.stack([wf[0] + wf[1], wf[2]])
-    phases = []
-    for a, ra in ((0, r0), (1, r1)):
-        c0 = jnp.stack([ra[:, 0], ra[:, 1] + ra[:, 2]], axis=1)  # (2,2,Ci,Co)
-        c1 = jnp.stack([ra[:, 0] + ra[:, 1], ra[:, 2]], axis=1)
-        for bb, k in ((0, c0), (1, c1)):
-            pad = [(1 - a, a), (1 - bb, bb)]
-            y = lax.conv_general_dilated(
-                x, k, (1, 1), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-            phases.append(y)
-    # interleave phases: out[2i+a, 2j+b] = phases[2a+b][i, j]
-    n, h, wd, c = phases[0].shape
-    out = jnp.stack(phases, axis=0).reshape(2, 2, n, h, wd, c)
-    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, c)
+    # Expressed as ONE stride-2 transposed conv with a 4x4 kernel
+    # K = A @ w @ A^T over the kernel dims, A = [[1,0,0],[1,1,0],[0,1,1],
+    # [0,0,1]]: output phase (a, b) then sees exactly the row/col-combined
+    # taps of the nearest-upsampled conv. Single op -> XLA's native strided
+    # lowering, no phase stack/interleave intermediate.
+    a_mat = jnp.asarray(
+        [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], wf.dtype
+    )
+    k4 = jnp.einsum("ur,vc,rcio->uvio", a_mat, a_mat, wf)
+    out = lax.conv_transpose(
+        x, k4,
+        strides=(2, 2),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)

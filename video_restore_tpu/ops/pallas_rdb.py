@@ -31,24 +31,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HALO = 5  # five chained 3x3 valid convs
+# DMA window extents must be aligned to the 8-sublane tiling, so the
+# transferred halo is 8 (the 3 extra pixels are cropped after the chain)
+_PAD = 8
 
 
 def _conv3x3_valid(a: jax.Array, w: jax.Array) -> jax.Array:
     """(ah, aw, cin) x (3, 3, cin, cout) -> (ah-2, aw-2, cout) fp32.
 
-    Nine shifted matmuls; each flattens the spatial window into MXU rows.
+    Nine shifted matmuls on the MXU; the row dimension is the spatial
+    window (kept 3-D — Mosaic collapses the leading dims itself, avoiding
+    explicit relayout reshapes).
     """
     ah, aw, cin = a.shape
     oh, ow = ah - 2, aw - 2
     cout = w.shape[-1]
-    acc = jnp.zeros((oh * ow, cout), jnp.float32)
+    acc = jnp.zeros((oh, ow, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            sl = a[dy : dy + oh, dx : dx + ow, :].reshape(oh * ow, cin)
-            acc = acc + jnp.dot(
-                sl, w[dy, dx], preferred_element_type=jnp.float32
+            sl = a[dy : dy + oh, dx : dx + ow, :]
+            acc = acc + jax.lax.dot_general(
+                sl, w[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-    return acc.reshape(oh, ow, cout)
+    return acc
 
 
 def _lrelu(x):
@@ -73,8 +80,8 @@ def _rdb_kernel(
     cp = pltpu.make_async_copy(
         xp_ref.at[
             b,
-            pl.ds(i * bh, bh + 2 * _HALO),
-            pl.ds(j * bw, bw + 2 * _HALO),
+            pl.ds(i * bh, bh + 2 * _PAD),
+            pl.ds(j * bw, bw + 2 * _PAD),
             :,
         ],
         xblk,
@@ -83,7 +90,11 @@ def _rdb_kernel(
     cp.start()
     cp.wait()
 
-    x = xblk[:]
+    # drop the alignment surplus so the chain sees exactly the 5-px halo,
+    # and the lane-alignment channel padding (HBM DMA needs 128 lanes)
+    e = _PAD - _HALO
+    nf = out_ref.shape[-1]
+    x = xblk[e : e + bh + 2 * _HALO, e : e + bw + 2 * _HALO, :nf]
     dt = x.dtype
     g = gc
 
@@ -152,8 +163,12 @@ def rdb_fused(
     ph = (bh - h % bh) % bh
     pw = (bw - w % bw) % bw
     hp, wp = h + ph, w + pw
+    # channel padding to the 128-lane granule: HBM DMA slices must be
+    # lane-aligned. The zero channels are stripped in-kernel.
+    cpad = (128 - nf % 128) % 128
     xp = jnp.pad(
-        x, ((0, 0), (_HALO, _HALO + ph), (_HALO, _HALO + pw), (0, 0))
+        x,
+        ((0, 0), (_PAD, _PAD + ph), (_PAD, _PAD + pw), (0, cpad)),
     )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
     wlist = [wi.astype(x.dtype) for wi in ws]
@@ -170,7 +185,7 @@ def rdb_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, nf), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2 * _HALO, bw + 2 * _HALO, nf), x.dtype),
+            pltpu.VMEM((bh + 2 * _PAD, bw + 2 * _PAD, nf + cpad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -276,17 +276,34 @@ def tiled_apply(
     model_fn: Callable[[jax.Array], jax.Array],
     frames: jax.Array,
     grid: TileGrid,
+    tile_sharding=None,
 ) -> jax.Array:
     """Upscale a batch of frames through the tiled model, fully on-device.
 
     frames: (N, H, W, C) float in [0, 1] (any float dtype; the model runs in
     the frames' dtype, blending runs in fp32).
     Returns (N, H*scale, W*scale, C) fp32.
+
+    tile_sharding: optional ``NamedSharding`` for the flattened tile batch
+    axis — "spatial parallelism": all mesh devices cooperate on one frame's
+    tiles (single-stream/low-latency mode; the image-domain analogue of
+    sequence parallelism, SURVEY.md §5). GSPMD partitions the per-tile
+    model and gathers outputs for the blend.
     """
     n = frames.shape[0]
     xp = _pad_frame(frames, grid)
     tiles = _extract_tiles(xp, grid)  # (N, T, Eh, Ew, C)
     flat = tiles.reshape((n * grid.n_tiles,) + tiles.shape[2:])
-    out = _chunked_apply(model_fn, flat, grid.tile_chunk)
+    if tile_sharding is not None:
+        d = tile_sharding.mesh.devices.size
+        nb = _round_up(flat.shape[0], d)
+        if nb != flat.shape[0]:
+            pad = jnp.zeros((nb - flat.shape[0],) + flat.shape[1:], flat.dtype)
+            flat = jnp.concatenate([flat, pad], axis=0)
+        flat = jax.lax.with_sharding_constraint(flat, tile_sharding)
+        out = model_fn(flat)
+        out = out[: n * grid.n_tiles]
+    else:
+        out = _chunked_apply(model_fn, flat, grid.tile_chunk)
     out = out.reshape((n, grid.n_tiles) + out.shape[1:])
     return _blend_tiles(out, grid)

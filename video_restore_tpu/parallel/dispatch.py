@@ -76,6 +76,7 @@ def restore_step(
     step_cfg: StepConfig,
     compute_dtype,
     n_shards: int,
+    tile_sharding=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, H, W, 3) uint8 -> (B, H*s, W*s, 3) uint8 + temporal carry.
 
@@ -96,7 +97,10 @@ def restore_step(
         x = clahe(x, step_cfg.clahe_clip)
 
     x = x.astype(compute_dtype)
-    y = tiled_apply(lambda t: model_apply(params, t), x, grid)  # fp32
+    y = tiled_apply(
+        lambda t: model_apply(params, t), x, grid,
+        tile_sharding=tile_sharding,
+    )  # fp32
 
     if step_cfg.color_enhance and not step_cfg.clahe_lr:
         y = clahe(y, step_cfg.clahe_clip)
@@ -145,6 +149,7 @@ class ShardedUpscaler:
         self.grid = grid
         self.scale = grid.scale
         self.step_cfg = StepConfig.from_config(cfg)
+        self.shard_mode = getattr(cfg, "shard_mode", "frames")
         self.compute_dtype = (
             jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
         )
@@ -157,25 +162,44 @@ class ShardedUpscaler:
         )
         model_apply = model.apply_fn()
 
+        if self.shard_mode == "tiles":
+            # spatial parallelism: all devices cooperate on each frame's
+            # tile batch; frames stream through one (or a few) at a time.
+            # Temporal EMA then runs fully sequentially (n_shards=1) —
+            # exactly the single-stream semantics.
+            frame_shard, carry_shard = self._repl, self._repl
+            tile_sharding = self._shard0
+            n_shards = 1
+            self._batch = 1
+        else:
+            frame_shard, carry_shard = self._shard0, self._shard0
+            tile_sharding = None
+            n_shards = self.n_devices
+            self._batch = self.n_devices
+
         fn = partial(
             restore_step,
             model_apply=model_apply,
             grid=grid,
             step_cfg=self.step_cfg,
             compute_dtype=self.compute_dtype,
-            n_shards=self.n_devices,
+            n_shards=n_shards,
+            tile_sharding=tile_sharding,
         )
         self._step = jax.jit(
             fn,
-            in_shardings=(self._repl, self._shard0, self._shard0),
-            out_shardings=(self._shard0, self._shard0),
+            in_shardings=(self._repl, frame_shard, carry_shard),
+            out_shardings=(frame_shard, carry_shard),
             donate_argnums=(2,),
         )
+        self._frame_shard = frame_shard
+        self._carry_shard = carry_shard
+        self._n_carry_shards = n_shards
         self._carry = None
 
     @property
     def frames_per_batch(self) -> int:
-        return self.n_devices
+        return self._batch
 
     def reset_temporal(self) -> None:
         self._carry = None
@@ -183,21 +207,22 @@ class ShardedUpscaler:
     def _init_carry(self) -> jax.Array:
         hs = self.grid.height * self.scale
         ws = self.grid.width * self.scale
-        z = jnp.zeros((self.n_devices, hs, ws, 3), jnp.uint8)
-        return jax.device_put(z, self._shard0)
+        z = jnp.zeros((self._n_carry_shards, hs, ws, 3), jnp.uint8)
+        return jax.device_put(z, self._carry_shard)
 
     def process_batch(self, frames_u8: np.ndarray) -> jax.Array:
-        """frames_u8: (B, H, W, 3) uint8, B divisible by n_devices. Returns a
-        device array (B, H*s, W*s, 3) uint8 (async — call np.asarray to
-        fetch); dispatch returns immediately so the host can overlap
-        decode/encode with TPU compute."""
+        """frames_u8: (B, H, W, 3) uint8, B divisible by frames_per_batch.
+        Returns a device array (B, H*s, W*s, 3) uint8 (async — call
+        np.asarray to fetch); dispatch returns immediately so the host can
+        overlap decode/encode with TPU compute."""
         b = frames_u8.shape[0]
-        if b % self.n_devices:
+        if b % self._batch:
             raise ValueError(
-                f"batch {b} not divisible by {self.n_devices} devices"
+                f"batch {b} not divisible by {self._batch} "
+                f"({self.shard_mode}-sharded over {self.n_devices} devices)"
             )
         if self._carry is None:
             self._carry = self._init_carry()
-        x = jax.device_put(jnp.asarray(frames_u8), self._shard0)
+        x = jax.device_put(jnp.asarray(frames_u8), self._frame_shard)
         out, self._carry = self._step(self.params, x, self._carry)
         return out
