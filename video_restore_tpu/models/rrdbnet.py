@@ -214,11 +214,13 @@ def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
 
 
 def default_use_pallas() -> bool:
-    """Fused Pallas RDB on real TPUs; XLA path on CPU (tests) and when
-    VRT_NO_PALLAS=1."""
+    """Opt-in (VRT_PALLAS=1): the fused Pallas RDB kernel is correct on TPU
+    but does not yet beat XLA's conv path (small per-block matmuls +
+    relayout copies dominate); the source-major XLA path is the production
+    default."""
     import os
 
-    if os.environ.get("VRT_NO_PALLAS") == "1":
+    if os.environ.get("VRT_PALLAS") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

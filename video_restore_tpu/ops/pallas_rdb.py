@@ -9,12 +9,14 @@ entire dense-block chain resident in VMEM:
 - the grid tiles the frame into (bh x bw) spatial blocks; each program
   DMAs one input window with a 5-pixel halo (5 chained 3x3 valid convs),
 - all five regrouped convs (t0..t4) and the growth activations (c1..c4)
-  live in VMEM; each 3x3 conv is 9 shifted MXU matmuls with fp32
-  accumulation,
+  live in VMEM scratch refs; each 3x3 conv is a fori_loop of 9 shifted MXU
+  matmuls accumulated in fp32 (looped, not unrolled — Mosaic
+  stack-allocates temporaries per op, and an unrolled 45-matmul body blows
+  the 16MB scoped-VMEM budget),
 - only the final (bh x bw x nf) residual output is written back.
 
-HBM traffic per RDB drops from ~10x to 2x the feature map size, which
-moves the body from bandwidth-bound to MXU-bound.
+HBM traffic per RDB drops from ~10x to ~2x the feature map size, moving
+the body from bandwidth-bound toward MXU-bound.
 
 Weights must be in the source-major regrouped layout
 (models/rrdbnet._regroup_rdb_weights).
@@ -27,51 +29,65 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HALO = 5  # five chained 3x3 valid convs
 # DMA window extents must be aligned to the 8-sublane tiling, so the
-# transferred halo is 8 (the 3 extra pixels are cropped after the chain)
+# transferred halo is 8 (the 3 extra pixels are cropped in-kernel)
 _PAD = 8
-
-
-def _conv3x3_valid(a: jax.Array, w: jax.Array) -> jax.Array:
-    """(ah, aw, cin) x (3, 3, cin, cout) -> (ah-2, aw-2, cout) fp32.
-
-    Nine shifted matmuls on the MXU; the row dimension is the spatial
-    window (kept 3-D — Mosaic collapses the leading dims itself, avoiding
-    explicit relayout reshapes).
-    """
-    ah, aw, cin = a.shape
-    oh, ow = ah - 2, aw - 2
-    cout = w.shape[-1]
-    acc = jnp.zeros((oh, ow, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            sl = a[dy : dy + oh, dx : dx + ow, :]
-            acc = acc + jax.lax.dot_general(
-                sl, w[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    return acc
 
 
 def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
+def _conv_ref(src_ref, w_ref, dst_ref, *, oh: int, ow: int, cin: int, base: int):
+    """3x3 valid conv reading a window of ``src_ref`` starting at ``base``:
+    dst[y, x] = sum_{dy,dx} src[base+y+dy, base+x+dx, :cin] @ w[dy, dx].
+
+    Loop structure is dictated by Mosaic's indexing rules and scoped-VMEM
+    stack allocation: the row offset (leading, untiled dim) may be a traced
+    fori_loop index, while column offsets (sublane dim) must be static —
+    so we run three fori_loops over dy, one per static dx. Only one tap's
+    temporaries are live at a time (an unrolled 9-tap body stack-overflows
+    the 16MB scoped VMEM).
+    """
+    dst_ref[...] = jnp.zeros_like(dst_ref)
+
+    def make_row_tap(dx: int):
+        def tap(dy, _):
+            sl = src_ref[
+                pl.ds(base + dy, oh), base + dx : base + dx + ow, :cin
+            ]
+            wk = w_ref[dy, dx]
+            dst_ref[...] += lax.dot_general(
+                sl, wk,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        return tap
+
+    for dx in range(3):
+        lax.fori_loop(0, 3, make_row_tap(dx), 0)
+
+
 def _rdb_kernel(
-    xp_ref,  # (B, Hp, Wp, nf) in ANY/HBM — padded input
+    xp_ref,  # (B, Hp, Wp, nf+cpad) in ANY/HBM — padded input
     w0, w1, w2, w3, w4,  # regrouped weights, VMEM
     b1, b2, b3, b4, b5,  # biases (1, 1, cout_k), VMEM
     out_ref,  # (1, bh, bw, nf) VMEM block
-    xblk,  # scratch (bh+10, bw+10, nf)
+    xblk,  # scratch (bh+2*_PAD, bw+2*_PAD, nf+cpad) bf16
+    t0, t1, t2, t3, t4,  # fp32 conv accumulators
+    c1, c2, c3, c4,  # growth activations (model dtype)
     sem,
     *,
     bh: int,
     bw: int,
+    nf: int,
     gc: int,
 ):
     b = pl.program_id(0)
@@ -80,8 +96,8 @@ def _rdb_kernel(
     cp = pltpu.make_async_copy(
         xp_ref.at[
             b,
-            pl.ds(i * bh, bh + 2 * _PAD),
-            pl.ds(j * bw, bw + 2 * _PAD),
+            pl.ds(pl.multiple_of(i * bh, 8), bh + 2 * _PAD),
+            pl.ds(pl.multiple_of(j * bw, 8), bw + 2 * _PAD),
             :,
         ],
         xblk,
@@ -90,58 +106,55 @@ def _rdb_kernel(
     cp.start()
     cp.wait()
 
-    # drop the alignment surplus so the chain sees exactly the 5-px halo,
-    # and the lane-alignment channel padding (HBM DMA needs 128 lanes)
-    e = _PAD - _HALO
-    nf = out_ref.shape[-1]
-    x = xblk[e : e + bh + 2 * _HALO, e : e + bw + 2 * _HALO, :nf]
-    dt = x.dtype
     g = gc
+    e = _PAD - _HALO  # alignment surplus inside the DMA'd window
+    dt = out_ref.dtype
 
-    t0 = _conv3x3_valid(x, w0[:])  # (bh+8, bw+8, 4g+nf) fp32
-    c1 = _lrelu(t0[..., :g] + b1[0]).astype(dt)
-    t0 = t0.astype(dt)
-    t1 = _conv3x3_valid(c1, w1[:])  # (bh+6, bw+6, 3g+nf)
-    c2 = _lrelu(
-        t0[1:-1, 1:-1, g : 2 * g].astype(jnp.float32)
-        + t1[..., :g] + b2[0]
+    # t0 spans (bh+8, bw+8): conv window starts at e within xblk
+    _conv_ref(xblk, w0, t0, oh=bh + 8, ow=bw + 8, cin=nf, base=e)
+    c1[...] = _lrelu(t0[:, :, :g] + b1[0]).astype(dt)
+    _conv_ref(c1, w1, t1, oh=bh + 6, ow=bw + 6, cin=g, base=0)
+    c2[...] = _lrelu(
+        t0[1:-1, 1:-1, g : 2 * g] + t1[:, :, :g] + b2[0]
     ).astype(dt)
-    t1 = t1.astype(dt)
-    t2 = _conv3x3_valid(c2, w2[:])  # (bh+4, bw+4, 2g+nf)
-    c3 = _lrelu(
-        t0[2:-2, 2:-2, 2 * g : 3 * g].astype(jnp.float32)
-        + t1[1:-1, 1:-1, :g].astype(jnp.float32)
-        + t2[..., :g] + b3[0]
+    _conv_ref(c2, w2, t2, oh=bh + 4, ow=bw + 4, cin=g, base=0)
+    c3[...] = _lrelu(
+        t0[2:-2, 2:-2, 2 * g : 3 * g]
+        + t1[1:-1, 1:-1, g : 2 * g]
+        + t2[:, :, :g]
+        + b3[0]
     ).astype(dt)
-    t2 = t2.astype(dt)
-    t3 = _conv3x3_valid(c3, w3[:])  # (bh+2, bw+2, g+nf)
-    c4 = _lrelu(
-        t0[3:-3, 3:-3, 3 * g : 4 * g].astype(jnp.float32)
-        + t1[2:-2, 2:-2, g : 2 * g].astype(jnp.float32)
-        + t2[1:-1, 1:-1, :g].astype(jnp.float32)
-        + t3[..., :g] + b4[0]
+    _conv_ref(c3, w3, t3, oh=bh + 2, ow=bw + 2, cin=g, base=0)
+    c4[...] = _lrelu(
+        t0[3:-3, 3:-3, 3 * g : 4 * g]
+        + t1[2:-2, 2:-2, 2 * g : 3 * g]
+        + t2[1:-1, 1:-1, g : 2 * g]
+        + t3[:, :, :g]
+        + b4[0]
     ).astype(dt)
-    t3 = t3.astype(dt)
-    t4 = _conv3x3_valid(c4, w4[:])  # (bh, bw, nf) fp32
+    _conv_ref(c4, w4, t4, oh=bh, ow=bw, cin=g, base=0)
     c5 = (
-        t0[4:-4, 4:-4, 4 * g :].astype(jnp.float32)
-        + t1[3:-3, 3:-3, 3 * g :].astype(jnp.float32)
-        + t2[2:-2, 2:-2, 2 * g :].astype(jnp.float32)
-        + t3[1:-1, 1:-1, g:].astype(jnp.float32)
-        + t4 + b5[0]
+        t0[4:-4, 4:-4, 4 * g :]
+        + t1[3:-3, 3:-3, 3 * g :]
+        + t2[2:-2, 2:-2, 2 * g :]
+        + t3[1:-1, 1:-1, g:]
+        + t4[...]
+        + b5[0]
     )
-    center = x[_HALO:-_HALO, _HALO:-_HALO, :].astype(jnp.float32)
+    center = xblk[
+        _PAD : _PAD + bh, _PAD : _PAD + bw, :nf
+    ].astype(jnp.float32)
     out_ref[0] = (center + 0.2 * c5).astype(dt)
 
 
 def _pick_block(h: int, w: int) -> Tuple[int, int]:
-    """Largest block <=64 that divides the (padded) extent; VMEM budget is
-    sized for 64x64 at nf=64, gc=32."""
+    """Block size: 32 keeps the fused chain within the 16MB scoped-VMEM
+    budget at nf=64, gc=32; prefer a divisor of the extent."""
     def pick(n):
-        for cand in (64, 48, 32):
+        for cand in (32, 48, 40, 24):
             if n % cand == 0:
                 return cand
-        return 64  # caller pads to a multiple of the block
+        return 32  # pad to a multiple
 
     return pick(h), pick(w)
 
@@ -173,7 +186,8 @@ def rdb_fused(
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
     wlist = [wi.astype(x.dtype) for wi in ws]
 
-    kernel = functools.partial(_rdb_kernel, bh=bh, bw=bw, gc=gc)
+    kernel = functools.partial(_rdb_kernel, bh=bh, bw=bw, nf=nf, gc=gc)
+    f32 = jnp.float32
     out = pl.pallas_call(
         kernel,
         grid=(b, hp // bh, wp // bw),
@@ -186,6 +200,15 @@ def rdb_fused(
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, nf), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bh + 2 * _PAD, bw + 2 * _PAD, nf + cpad), x.dtype),
+            pltpu.VMEM((bh + 8, bw + 8, 4 * gc + nf), f32),  # t0
+            pltpu.VMEM((bh + 6, bw + 6, 3 * gc + nf), f32),  # t1
+            pltpu.VMEM((bh + 4, bw + 4, 2 * gc + nf), f32),  # t2
+            pltpu.VMEM((bh + 2, bw + 2, gc + nf), f32),  # t3
+            pltpu.VMEM((bh, bw, nf), f32),  # t4
+            pltpu.VMEM((bh + 8, bw + 8, gc), x.dtype),  # c1
+            pltpu.VMEM((bh + 6, bw + 6, gc), x.dtype),  # c2
+            pltpu.VMEM((bh + 4, bw + 4, gc), x.dtype),  # c3
+            pltpu.VMEM((bh + 2, bw + 2, gc), x.dtype),  # c4
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

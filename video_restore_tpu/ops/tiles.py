@@ -83,7 +83,10 @@ class _Axis:
     lead: int  # leading context pad (legacy halo)
 
     @staticmethod
-    def build(dim: int, tile: int, stride: int, halo: int, mod: int) -> "_Axis":
+    def build(
+        dim: int, tile: int, stride: int, halo: int, mod: int,
+        even: bool = True,
+    ) -> "_Axis":
         extract = tile + 2 * halo
         if extract >= dim + 2 * halo:
             # single tile along this axis: snap extract to the frame
@@ -91,8 +94,19 @@ class _Axis:
             return _Axis(dim, extract, (0,), extract, 0)
         covered = dim + 2 * halo
         n = math.ceil((covered - extract) / stride) + 1
+        if even:
+            # Distribute the n tiles evenly so the last one ends exactly at
+            # the frame edge: zero padded-area compute (a fixed stride pads
+            # 1080p rows to 1472 — 36% wasted model FLOPs). The effective
+            # overlap only grows, so blend quality is unaffected.
+            span = covered - extract
+            offsets = tuple(round(i * span / (n - 1)) for i in range(n))
+            return _Axis(dim, extract, offsets, covered, halo)
+        # legacy (RealESRGANer) semantics: fixed stride, pad past the edge
         padded = (n - 1) * stride + extract
-        return _Axis(dim, extract, tuple(i * stride for i in range(n)), padded, halo)
+        return _Axis(
+            dim, extract, tuple(i * stride for i in range(n)), padded, halo
+        )
 
     def window(self, scale: int, mode: str, halo: int, overlap: int = 0) -> np.ndarray:
         es = self.extract * scale
@@ -148,8 +162,9 @@ class TileGrid:
         else:
             halo = 0
             stride = max(tile - overlap, mod)
-        rows = _Axis.build(height, tile, stride, halo, mod)
-        cols = _Axis.build(width, tile, stride, halo, mod)
+        even = mode == "seamless"
+        rows = _Axis.build(height, tile, stride, halo, mod, even)
+        cols = _Axis.build(width, tile, stride, halo, mod, even)
         return TileGrid(
             height=height,
             width=width,
