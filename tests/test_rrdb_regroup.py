@@ -29,6 +29,26 @@ def test_regrouped_matches_naive(rng, spec):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("scale", [4, 2])
+def test_sd_matches_regrouped(rng, scale):
+    """The space-to-depth body (ops/sdconv.py) must be numerically
+    equivalent to the plain regrouped path."""
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=scale)
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 12, 16, 3)).astype(np.float32))
+    a = np.asarray(apply_rrdbnet(params, x, spec, sd=False))
+    b = np.asarray(apply_rrdbnet(params, x, spec, sd=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_sd_odd_extent_falls_back(rng):
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=4)
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 11, 13, 3)).astype(np.float32))
+    out = apply_rrdbnet(params, x, spec, sd=True)  # silently uses fine path
+    assert out.shape == (1, 44, 52, 3)
+
+
 def test_regrouped_matches_naive_bf16(rng):
     spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=4)
     params = init_rrdbnet(jax.random.PRNGKey(0), spec, jnp.bfloat16)

@@ -36,10 +36,16 @@ from jax import lax
 from video_restore_tpu.ops.conv import (
     conv2d,
     leaky_relu,
+    pixel_shuffle,
     pixel_unshuffle,
     upconv2x,
     upsample_nearest,
 )
+
+
+def pixel_shuffle_sd(xc: jax.Array) -> jax.Array:
+    """Coarse (c-major sd layout) -> fine: inverse of pixel_unshuffle(2)."""
+    return pixel_shuffle(xc, 2)
 
 Params = Dict[str, Any]
 
@@ -203,6 +209,45 @@ def _rrdb_apply_regrouped(tp: Params, x: jax.Array) -> jax.Array:
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
+def _rdb_apply_sd(tp: Params, xc: jax.Array) -> jax.Array:
+    """Source-major RDB in the space-to-depth domain (ops/sdconv.py):
+    identical math on a 2x-coarser grid with 4x channels — near-ideal MXU
+    shapes (256/128 channels instead of 64/32). Channel slicing carries
+    over verbatim because the sd layout is fine-channel-major."""
+    from video_restore_tpu.ops.sdconv import conv3x3_sd
+
+    w0, w1, w2, w3, w4 = tp["w"]
+    b1, b2, b3, b4, b5 = (b.astype(xc.dtype) for b in tp["b"])
+    g = w1.shape[-2] // 4  # fine num_grow_ch; coarse growth = 4*g
+    g4 = 4 * g
+    t0 = conv3x3_sd(xc, w0)
+    c1 = leaky_relu(t0[..., :g4] + b1)
+    t1 = conv3x3_sd(c1, w1)
+    c2 = leaky_relu(t0[..., g4 : 2 * g4] + t1[..., :g4] + b2)
+    t2 = conv3x3_sd(c2, w2)
+    c3 = leaky_relu(
+        t0[..., 2 * g4 : 3 * g4] + t1[..., g4 : 2 * g4] + t2[..., :g4] + b3
+    )
+    t3 = conv3x3_sd(c3, w3)
+    c4 = leaky_relu(
+        t0[..., 3 * g4 : 4 * g4] + t1[..., 2 * g4 : 3 * g4]
+        + t2[..., g4 : 2 * g4] + t3[..., :g4] + b4
+    )
+    t4 = conv3x3_sd(c4, w4)
+    c5 = (
+        t0[..., 4 * g4 :] + t1[..., 3 * g4 :] + t2[..., 2 * g4 :]
+        + t3[..., g4:] + t4 + b5
+    )
+    return c5 * jnp.asarray(0.2, xc.dtype) + xc
+
+
+def _rrdb_apply_sd(tp: Params, xc: jax.Array) -> jax.Array:
+    out = _rdb_apply_sd(tp["rdb1"], xc)
+    out = _rdb_apply_sd(tp["rdb2"], out)
+    out = _rdb_apply_sd(tp["rdb3"], out)
+    return out * jnp.asarray(0.2, xc.dtype) + xc
+
+
 def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
     """RRDB via the fused Pallas RDB kernel (ops/pallas_rdb.py)."""
     from video_restore_tpu.ops.pallas_rdb import rdb_fused
@@ -228,43 +273,81 @@ def default_use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("scale", "naive", "use_pallas"))
+@partial(jax.jit, static_argnames=("scale", "naive", "use_pallas", "sd"))
 def _apply(
     params: Params,
     x: jax.Array,
     scale: int,
     naive: bool = False,
     use_pallas: bool = False,
+    sd: bool = False,
 ) -> jax.Array:
     if scale == 2:
         x = pixel_unshuffle(x, 2)
     elif scale == 1:
         x = pixel_unshuffle(x, 4)
-    feat = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
+    if sd and (x.shape[1] % 2 or x.shape[2] % 2):
+        sd = False  # sd domain needs even extents
 
-    if naive:
-        def block_step(h, bp):
-            return _rrdb_apply(bp, h), None
+    nf = params["conv_first"]["w"].shape[-1]
+    gc = params["body"]["rdb1"]["conv1"]["w"].shape[-1]
 
-        body = params["body"]
-    else:
-        # one-time source-major regroup of the stacked body weights
-        # (operates on the (num_block, ...) stacked leaves directly)
-        nf = feat.shape[-1]
-        gc = params["body"]["rdb1"]["conv1"]["w"].shape[-1]
+    if sd:
+        # run stem + body on the 2x-coarser space-to-depth grid (exact)
+        from video_restore_tpu.ops.sdconv import conv3x3_sd, make_sd_kernel
+
+        xc = pixel_unshuffle(x, 2)
+        feat = conv3x3_sd(
+            xc,
+            make_sd_kernel(params["conv_first"]["w"]),
+            params["conv_first"]["b"],
+        )
         body = {}
         for r in ("rdb1", "rdb2", "rdb3"):
             ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
-            body[r] = {"w": tuple(ws), "b": tuple(bs)}
-
-        rrdb_fn = _rrdb_apply_pallas if use_pallas else _rrdb_apply_regrouped
+            body[r] = {
+                "w": tuple(make_sd_kernel(w) for w in ws),
+                "b": tuple(jnp.repeat(b, 4, axis=-1) for b in bs),
+            }
 
         def block_step(h, bp):
-            return rrdb_fn(bp, h), None
+            return _rrdb_apply_sd(bp, h), None
 
-    body_out, _ = lax.scan(block_step, feat, body)
-    body_out = conv2d(body_out, params["conv_body"]["w"], params["conv_body"]["b"])
-    feat = feat + body_out
+        body_out, _ = lax.scan(block_step, feat, body)
+        body_out = conv3x3_sd(
+            body_out,
+            make_sd_kernel(params["conv_body"]["w"]),
+            params["conv_body"]["b"],
+        )
+        feat = pixel_shuffle_sd(feat + body_out)
+    else:
+        feat = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
+
+        if naive:
+            def block_step(h, bp):
+                return _rrdb_apply(bp, h), None
+
+            body = params["body"]
+        else:
+            # one-time source-major regroup of the stacked body weights
+            # (operates on the (num_block, ...) stacked leaves directly)
+            body = {}
+            for r in ("rdb1", "rdb2", "rdb3"):
+                ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+                body[r] = {"w": tuple(ws), "b": tuple(bs)}
+
+            rrdb_fn = (
+                _rrdb_apply_pallas if use_pallas else _rrdb_apply_regrouped
+            )
+
+            def block_step(h, bp):
+                return rrdb_fn(bp, h), None
+
+        body_out, _ = lax.scan(block_step, feat, body)
+        body_out = conv2d(
+            body_out, params["conv_body"]["w"], params["conv_body"]["b"]
+        )
+        feat = feat + body_out
 
     if naive:
         feat = leaky_relu(
@@ -290,20 +373,37 @@ def _apply(
     return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
 
 
+def default_use_sd() -> bool:
+    """Space-to-depth body on real TPUs (exact transform; 1.78x nominal
+    MACs traded for ~full MXU occupancy). VRT_NO_SD=1 disables."""
+    import os
+
+    if os.environ.get("VRT_NO_SD") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def apply_rrdbnet(
     params: Params,
     x: jax.Array,
     spec: RRDBNetSpec,
     naive: bool = False,
     use_pallas: "bool | None" = None,
+    sd: "bool | None" = None,
 ) -> jax.Array:
     """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
 
     ``naive=True`` uses the torch-ordered RDB formulation (parity testing).
     The default source-major path computes identical values much faster on
-    TPU (MXU occupancy — see _regroup_rdb_weights); on real TPUs the RDB
-    additionally runs as a fused Pallas kernel (ops/pallas_rdb.py) unless
-    ``use_pallas=False`` or VRT_NO_PALLAS=1."""
+    TPU (MXU occupancy — see _regroup_rdb_weights); on real TPUs the stem +
+    body additionally run in the space-to-depth domain (ops/sdconv.py,
+    exact) unless ``sd=False`` or VRT_NO_SD=1, and the fused Pallas RDB
+    kernel can be opted in with VRT_PALLAS=1."""
     if use_pallas is None:
         use_pallas = not naive and default_use_pallas()
-    return _apply(params, x, spec.scale, naive, use_pallas)
+    if sd is None:
+        sd = not naive and not use_pallas and default_use_sd()
+    return _apply(params, x, spec.scale, naive, use_pallas, sd)
