@@ -209,43 +209,56 @@ def _rrdb_apply_regrouped(tp: Params, x: jax.Array) -> jax.Array:
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
-def _rdb_apply_sd(tp: Params, xc: jax.Array) -> jax.Array:
+def _rdb_apply_sd(tp: Params, xc) -> "tuple":
     """Source-major RDB in the space-to-depth domain (ops/sdconv.py):
-    identical math on a 2x-coarser grid with 4x channels — near-ideal MXU
-    shapes (256/128 channels instead of 64/32). Channel slicing carries
-    over verbatim because the sd layout is fine-channel-major."""
-    from video_restore_tpu.ops.sdconv import conv3x3_sd
+    identical math on a 2x-coarser grid — each of the 4 phase tensors
+    carries the fine channels, so slicing/adds/lrelu run per phase
+    unchanged while every conv becomes a wide MXU-shaped 2x2 conv."""
+    from video_restore_tpu.ops.sdconv import conv3x3_sd, phase_map
 
     w0, w1, w2, w3, w4 = tp["w"]
-    b1, b2, b3, b4, b5 = (b.astype(xc.dtype) for b in tp["b"])
-    g = w1.shape[-2] // 4  # fine num_grow_ch; coarse growth = 4*g
-    g4 = 4 * g
+    dt = xc[0].dtype
+    b1, b2, b3, b4, b5 = (b.astype(dt) for b in tp["b"])
+    g = w1.shape[-2] // 4  # fine num_grow_ch (phase-major input channels)
+    lr = leaky_relu
     t0 = conv3x3_sd(xc, w0)
-    c1 = leaky_relu(t0[..., :g4] + b1)
+    c1 = phase_map(lambda t: lr(t[..., :g] + b1), t0)
     t1 = conv3x3_sd(c1, w1)
-    c2 = leaky_relu(t0[..., g4 : 2 * g4] + t1[..., :g4] + b2)
+    c2 = phase_map(lambda a, b: lr(a[..., g : 2 * g] + b[..., :g] + b2), t0, t1)
     t2 = conv3x3_sd(c2, w2)
-    c3 = leaky_relu(
-        t0[..., 2 * g4 : 3 * g4] + t1[..., g4 : 2 * g4] + t2[..., :g4] + b3
+    c3 = phase_map(
+        lambda a, b, c: lr(
+            a[..., 2 * g : 3 * g] + b[..., g : 2 * g] + c[..., :g] + b3
+        ),
+        t0, t1, t2,
     )
     t3 = conv3x3_sd(c3, w3)
-    c4 = leaky_relu(
-        t0[..., 3 * g4 : 4 * g4] + t1[..., 2 * g4 : 3 * g4]
-        + t2[..., g4 : 2 * g4] + t3[..., :g4] + b4
+    c4 = phase_map(
+        lambda a, b, c, d: lr(
+            a[..., 3 * g : 4 * g] + b[..., 2 * g : 3 * g]
+            + c[..., g : 2 * g] + d[..., :g] + b4
+        ),
+        t0, t1, t2, t3,
     )
     t4 = conv3x3_sd(c4, w4)
-    c5 = (
-        t0[..., 4 * g4 :] + t1[..., 3 * g4 :] + t2[..., 2 * g4 :]
-        + t3[..., g4:] + t4 + b5
+    return phase_map(
+        lambda a, b, c, d, e, x: (
+            a[..., 4 * g :] + b[..., 3 * g :] + c[..., 2 * g :]
+            + d[..., g:] + e + b5
+        ) * jnp.asarray(0.2, dt) + x,
+        t0, t1, t2, t3, t4, xc,
     )
-    return c5 * jnp.asarray(0.2, xc.dtype) + xc
 
 
-def _rrdb_apply_sd(tp: Params, xc: jax.Array) -> jax.Array:
+def _rrdb_apply_sd(tp: Params, xc) -> "tuple":
+    from video_restore_tpu.ops.sdconv import phase_map
+
     out = _rdb_apply_sd(tp["rdb1"], xc)
     out = _rdb_apply_sd(tp["rdb2"], out)
     out = _rdb_apply_sd(tp["rdb3"], out)
-    return out * jnp.asarray(0.2, xc.dtype) + xc
+    return phase_map(
+        lambda o, x: o * jnp.asarray(0.2, x.dtype) + x, out, xc
+    )
 
 
 def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
@@ -273,7 +286,10 @@ def default_use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("scale", "naive", "use_pallas", "sd"))
+@partial(
+    jax.jit,
+    static_argnames=("scale", "naive", "use_pallas", "sd", "prepared"),
+)
 def _apply(
     params: Params,
     x: jax.Array,
@@ -281,45 +297,61 @@ def _apply(
     naive: bool = False,
     use_pallas: bool = False,
     sd: bool = False,
+    prepared: bool = False,
 ) -> jax.Array:
     if scale == 2:
         x = pixel_unshuffle(x, 2)
     elif scale == 1:
         x = pixel_unshuffle(x, 4)
     if sd and (x.shape[1] % 2 or x.shape[2] % 2):
+        if prepared:
+            raise ValueError(
+                "sd-prepared params require even spatial extents "
+                f"(got {x.shape[1]}x{x.shape[2]})"
+            )
         sd = False  # sd domain needs even extents
 
     nf = params["conv_first"]["w"].shape[-1]
-    gc = params["body"]["rdb1"]["conv1"]["w"].shape[-1]
+    if prepared and not naive:
+        w1 = params["body"]["rdb1"]["w"][1]
+        gc = w1.shape[-2] // 4 if sd else w1.shape[-2]
+    else:
+        gc = params["body"]["rdb1"]["conv1"]["w"].shape[-1]
 
     if sd:
         # run stem + body on the 2x-coarser space-to-depth grid (exact)
-        from video_restore_tpu.ops.sdconv import conv3x3_sd, make_sd_kernel
-
-        xc = pixel_unshuffle(x, 2)
-        feat = conv3x3_sd(
-            xc,
-            make_sd_kernel(params["conv_first"]["w"]),
-            params["conv_first"]["b"],
+        from video_restore_tpu.ops.sdconv import (
+            conv3x3_sd,
+            make_sd_kernels,
+            phase_map,
+            sd_merge,
+            sd_split,
         )
-        body = {}
-        for r in ("rdb1", "rdb2", "rdb3"):
-            ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
-            body[r] = {
-                "w": tuple(make_sd_kernel(w) for w in ws),
-                "b": tuple(jnp.repeat(b, 4, axis=-1) for b in bs),
-            }
+
+        if prepared:
+            k_first = params["conv_first_sd"]
+            k_body = params["conv_body_sd"]
+            body = params["body"]
+        else:
+            k_first = make_sd_kernels(params["conv_first"]["w"])
+            k_body = make_sd_kernels(params["conv_body"]["w"])
+            body = {}
+            for r in ("rdb1", "rdb2", "rdb3"):
+                ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+                body[r] = {
+                    "w": tuple(make_sd_kernels(w) for w in ws),
+                    "b": tuple(bs),
+                }
+
+        xc = sd_split(x)
+        feat = conv3x3_sd(xc, k_first, params["conv_first"]["b"])
 
         def block_step(h, bp):
             return _rrdb_apply_sd(bp, h), None
 
         body_out, _ = lax.scan(block_step, feat, body)
-        body_out = conv3x3_sd(
-            body_out,
-            make_sd_kernel(params["conv_body"]["w"]),
-            params["conv_body"]["b"],
-        )
-        feat = pixel_shuffle_sd(feat + body_out)
+        body_out = conv3x3_sd(body_out, k_body, params["conv_body"]["b"])
+        feat = sd_merge(phase_map(lambda a, b: a + b, feat, body_out))
     else:
         feat = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
 
@@ -329,12 +361,16 @@ def _apply(
 
             body = params["body"]
         else:
-            # one-time source-major regroup of the stacked body weights
-            # (operates on the (num_block, ...) stacked leaves directly)
-            body = {}
-            for r in ("rdb1", "rdb2", "rdb3"):
-                ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
-                body[r] = {"w": tuple(ws), "b": tuple(bs)}
+            # source-major regroup of the stacked body weights (operates on
+            # the (num_block, ...) stacked leaves directly; skipped when
+            # the caller pre-transformed via prepare_rrdbnet)
+            if prepared:
+                body = params["body"]
+            else:
+                body = {}
+                for r in ("rdb1", "rdb2", "rdb3"):
+                    ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+                    body[r] = {"w": tuple(ws), "b": tuple(bs)}
 
             rrdb_fn = (
                 _rrdb_apply_pallas if use_pallas else _rrdb_apply_regrouped
@@ -373,12 +409,63 @@ def _apply(
     return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
 
 
+def resolve_mode(
+    naive: bool = False,
+    use_pallas: "bool | None" = None,
+    sd: "bool | None" = None,
+) -> str:
+    if naive:
+        return "naive"
+    if use_pallas if use_pallas is not None else default_use_pallas():
+        return "pallas"
+    if sd if sd is not None else default_use_sd():
+        return "sd"
+    return "regrouped"
+
+
+@partial(jax.jit, static_argnames=("mode", "num_feat", "num_grow_ch"))
+def prepare_rrdbnet(
+    params: Params, mode: str, num_feat: int, num_grow_ch: int
+) -> Params:
+    """One-time weight transformation for the chosen execution mode, so the
+    per-step program does no regrouping/sd-kernel assembly (inside a
+    chunked lax.map those transforms would otherwise re-run per chunk).
+
+    Returns a params pytree consumed by ``_apply(..., prepared=True)``.
+    """
+    if mode in ("naive",):
+        return params
+    nf, gc = num_feat, num_grow_ch
+    out = {k: v for k, v in params.items() if k != "body"}
+    body = {}
+    for r in ("rdb1", "rdb2", "rdb3"):
+        ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+        if mode == "sd":
+            from video_restore_tpu.ops.sdconv import make_sd_kernels
+
+            body[r] = {
+                "w": tuple(make_sd_kernels(w) for w in ws),
+                "b": tuple(bs),
+            }
+        else:
+            body[r] = {"w": tuple(ws), "b": tuple(bs)}
+    out["body"] = body
+    if mode == "sd":
+        from video_restore_tpu.ops.sdconv import make_sd_kernels
+
+        out["conv_first_sd"] = make_sd_kernels(params["conv_first"]["w"])
+        out["conv_body_sd"] = make_sd_kernels(params["conv_body"]["w"])
+    return out
+
+
 def default_use_sd() -> bool:
-    """Space-to-depth body on real TPUs (exact transform; 1.78x nominal
-    MACs traded for ~full MXU occupancy). VRT_NO_SD=1 disables."""
+    """Opt-in (VRT_SD=1): the space-to-depth body is exact and lifts real
+    MXU throughput from ~28 to ~45 TF/s, but its 16/9 structural-zero MAC
+    tax still nets ~8% slower than the regrouped fine path on v5e —
+    kept as an option (it may win on hardware with wider MXUs)."""
     import os
 
-    if os.environ.get("VRT_NO_SD") == "1":
+    if os.environ.get("VRT_SD") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

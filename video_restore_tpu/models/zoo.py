@@ -93,6 +93,36 @@ class ModelHandle:
             return lambda p, x: apply_rrdbnet(p, x, spec)
         return lambda p, x: apply_srvgg(p, x, spec)
 
+    def prepared(self, dtype) -> "tuple[Any, Callable]":
+        """(prepared_params, apply_fn) with execution-mode weight
+        transforms (regroup / sd kernels) done once, so the production
+        step's program contains only the convs."""
+        m = self.cast(dtype)
+        spec = self.spec
+        if not isinstance(spec, RRDBNetSpec):
+            return m.params, (lambda p, x: apply_srvgg(p, x, spec))
+        from video_restore_tpu.models.rrdbnet import (
+            _apply,
+            prepare_rrdbnet,
+            resolve_mode,
+        )
+
+        mode = resolve_mode()
+        pp = prepare_rrdbnet(
+            m.params, mode, spec.num_feat, spec.num_grow_ch
+        )
+
+        def fn(p, x):
+            return _apply(
+                p, x, spec.scale,
+                naive=mode == "naive",
+                use_pallas=mode == "pallas",
+                sd=mode == "sd",
+                prepared=mode != "naive",
+            )
+
+        return pp, fn
+
     def cast(self, dtype) -> "ModelHandle":
         params = jax.tree.map(
             lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,

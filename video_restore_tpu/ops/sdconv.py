@@ -1,99 +1,99 @@
 """Space-to-depth convolution transform (exact).
 
-A 3x3 SAME conv on the fine grid is algebraically identical to a function
-of the space-to-depth representation (2x coarser grid, 4x channels):
+A 3x3 SAME conv on the fine grid is algebraically identical to a set of
+2x2 convs on the space-to-depth representation (2x coarser grid, 4x
+channels). RRDBNet's 64/32-channel convs under-fill the 128-lane MXU and
+the (8,128) memory tiling; in the sd domain the same math runs with
+K = 16*Cin contraction and large output widths — near-ideal MXU shapes —
+at the cost of 16/9 = 1.78x nominal MACs (structural zeros).
 
-    sd(conv3x3(x, W)) == conv3x3_sd(sd(x), K(W))
+Representation: a coarse image is a **tuple of 4 phase tensors**
+(x[:, p::2, q::2, :] for (p, q) in row-major order), each with the
+original fine channel count. This avoids any channel interleaving:
 
-where ``sd`` is pixel_unshuffle(2) (torch c-major channel order) and K(W)
-is a (2, 2, 4*Cin, 4*Cout) kernel assembled from W's taps. Derivation: a
-fine output at phase (a, b) and coarse position (i, j) reads fine inputs
-at rows 2i+a+dy-1 = 2(i+du)+p with dy = 2*du' + p - (1-a); entries with
-dy outside [0, 2] are zero.
-
-Why: RRDBNet's 64/32-channel convs under-fill the 128-lane MXU and the
-(8,128) memory tiling; in the sd domain the same math runs with 256/128
-channels and K >= 1024 contraction — near-ideal MXU shapes — at the cost
-of 16/9 = 1.78x nominal MACs (the structural zeros). Net ~2-3x on TPU.
-
-The whole conv is ONE wide VALID conv on a once-padded input; the four
-output phases are shifted slices re-interleaved to c-major order, so XLA
-sees a single large matmul-like op per layer.
+- `conv3x3_sd`: concatenates the 4 input phases channel-wise (cheap block
+  concat) and runs one 2x2 conv **per output phase** with phase-specific
+  SAME-style padding ((1-a, a), (1-b, b)) — derivation: the fine output at
+  phase (a, b) reads fine rows 2i+a+dy-1 = 2(i+du)+p with
+  dy = 2*du + p - (1 - a); taps with dy outside [0, 2] are zero.
+- element-wise ops (LeakyReLU, residual adds, fine-channel slicing) apply
+  per phase unchanged, because each phase tensor carries exactly the fine
+  channels.
+- `sd_split` / `sd_merge` convert at the body boundary only.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+Phases = Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
 
-def make_sd_kernel(w: jax.Array) -> jax.Array:
-    """(..., 3, 3, Cin, Cout) -> (..., 2, 2, 4*Cin, 4*Cout).
+_PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
-    Input channels c-major (c*4 + p*2 + q, matching pixel_unshuffle);
-    output channels phase-major (phase*Cout + o) — consumed by
-    :func:`conv3x3_sd`, which re-interleaves to c-major.
-    Supports leading stacked-block axes (lax.scan layouts).
-    """
+
+def sd_split(x: jax.Array) -> Phases:
+    """(N, H, W, C) -> 4 x (N, H/2, W/2, C), phases row-major."""
+    return tuple(x[:, p::2, q::2, :] for p, q in _PHASES)
+
+
+def sd_merge(phases: Phases) -> jax.Array:
+    """Inverse of :func:`sd_split`."""
+    n, h2, w2, c = phases[0].shape
+    # stack to (N, H2, 2, W2, 2, C) with [p, q] at the right positions
+    rows0 = jnp.stack([phases[0], phases[1]], axis=3)  # p=0: (N,H2,W2,2,C)
+    rows1 = jnp.stack([phases[2], phases[3]], axis=3)  # p=1
+    x = jnp.stack([rows0, rows1], axis=2)  # (N, H2, 2, W2, 2, C)
+    return x.reshape(n, h2 * 2, w2 * 2, c)
+
+
+def make_sd_kernels(w: jax.Array) -> jax.Array:
+    """(..., 3, 3, Cin, Cout) -> (..., 4, 2, 2, 4*Cin, Cout): one 2x2
+    kernel per output phase; input channels phase-major (ph*Cin + c),
+    matching the concat order in :func:`conv3x3_sd`."""
     *lead, _, _, cin, cout = w.shape
-    k = jnp.zeros(tuple(lead) + (2, 2, 4 * cin, 4 * cout), w.dtype)
-    for a in (0, 1):
-        for b in (0, 1):
-            ph = a * 2 + b
-            for du in (0, 1):
-                for dv in (0, 1):
-                    for p in (0, 1):
-                        for q in (0, 1):
-                            dy = 2 * du + p - (1 - a)
-                            dx = 2 * dv + q - (1 - b)
-                            if not (0 <= dy <= 2 and 0 <= dx <= 2):
-                                continue
-                            k = k.at[
-                                ...,
-                                du,
-                                dv,
-                                (p * 2 + q) :: 4,
-                                ph * cout : (ph + 1) * cout,
-                            ].set(w[..., dy, dx, :, :])
+    k = jnp.zeros(tuple(lead) + (4, 2, 2, 4 * cin, cout), w.dtype)
+    for oph, (a, b) in enumerate(_PHASES):
+        for du in (0, 1):
+            for dv in (0, 1):
+                for iph, (p, q) in enumerate(_PHASES):
+                    dy = 2 * du + p - (1 - a)
+                    dx = 2 * dv + q - (1 - b)
+                    if not (0 <= dy <= 2 and 0 <= dx <= 2):
+                        continue
+                    k = k.at[
+                        ..., oph, du, dv,
+                        iph * cin : (iph + 1) * cin, :,
+                    ].set(w[..., dy, dx, :, :])
     return k
 
 
 def conv3x3_sd(
-    xc: jax.Array, k_sd: jax.Array, b: Optional[jax.Array] = None
-) -> jax.Array:
-    """Apply a transformed 3x3 conv in the space-to-depth domain.
+    phases: Phases, k4: jax.Array, b: Optional[jax.Array] = None
+) -> Phases:
+    """Transformed 3x3 conv on phase tensors.
 
-    xc: (N, H2, W2, 4*Cin) coarse input (c-major phases).
-    k_sd: (2, 2, 4*Cin, 4*Cout) from :func:`make_sd_kernel`.
-    b: optional fine-domain bias (Cout,).
-    Returns (N, H2, W2, 4*Cout) coarse output (c-major phases).
+    phases: 4 x (N, H2, W2, Cin); k4: (4, 2, 2, 4*Cin, Cout);
+    b: optional (Cout,). Returns 4 x (N, H2, W2, Cout).
     """
-    n, h2, w2, _ = xc.shape
-    cout4 = k_sd.shape[-1]
-    cout = cout4 // 4
-    xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = lax.conv_general_dilated(
-        xp, k_sd.astype(xc.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )  # (N, H2+1, W2+1, 4*Cout)
-    phases = []
-    for a in (0, 1):
-        for bb in (0, 1):
-            ph = a * 2 + bb
-            phases.append(
-                y[
-                    :,
-                    a : a + h2,
-                    bb : bb + w2,
-                    ph * cout : (ph + 1) * cout,
-                ]
-            )
-    out = jnp.stack(phases, axis=-1)  # (N, H2, W2, Cout, 4)
-    out = out.reshape(n, h2, w2, cout4)  # c-major: c*4 + phase
-    if b is not None:
-        out = out + jnp.repeat(b.astype(jnp.float32), 4)
-    return out.astype(xc.dtype)
+    xin = jnp.concatenate(phases, axis=-1)  # phase-major channels
+    outs = []
+    for oph, (a, bb) in enumerate(_PHASES):
+        y = lax.conv_general_dilated(
+            xin, k4[oph].astype(xin.dtype), (1, 1),
+            ((1 - a, a), (1 - bb, bb)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        outs.append(y.astype(xin.dtype))
+    return tuple(outs)
+
+
+def phase_map(f, *phase_tuples) -> Phases:
+    """Apply an element-wise function across matching phase tensors."""
+    return tuple(f(*xs) for xs in zip(*phase_tuples))

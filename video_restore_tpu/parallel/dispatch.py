@@ -157,10 +157,8 @@ class ShardedUpscaler:
 
         self._repl = NamedSharding(self.mesh, P())
         self._shard0 = NamedSharding(self.mesh, P(axis))
-        self.params = jax.device_put(
-            model.cast(self.compute_dtype).params, self._repl
-        )
-        model_apply = model.apply_fn()
+        prepared_params, model_apply = model.prepared(self.compute_dtype)
+        self.params = jax.device_put(prepared_params, self._repl)
 
         if self.shard_mode == "tiles":
             # spatial parallelism: all devices cooperate on each frame's
