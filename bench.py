@@ -55,15 +55,18 @@ def main() -> int:
 
     # warmup / compile
     out = ups.process_batch(frames)
-    np.asarray(out)
+    np.asarray(out[..., :1, :1])
 
+    # Timing relies on the donated temporal-carry chain: step N consumes
+    # step N-1's carry buffer, so steps serialize on device, and the final
+    # tiny D2H slice waits for the whole chain. (jax.block_until_ready is
+    # unreliable under remote-tunnel transports, and fetching full 8K
+    # frames would measure tunnel bandwidth, not chip throughput.)
     n_iters = 4
     t0 = time.time()
-    outs = []
     for _ in range(n_iters):
-        outs.append(ups.process_batch(frames))
-    for o in outs:
-        jax.block_until_ready(o)
+        out = ups.process_batch(frames)
+    np.asarray(out[..., :1, :1])
     dt = time.time() - t0
 
     total_frames = n_iters * n_dev

@@ -144,6 +144,25 @@ def degrade_batch(
     return jnp.clip(lr + noise, 0.0, 1.0)
 
 
+def save_checkpoint(path, params: Any, opt_state: Any, step: int) -> None:
+    """Orbax checkpoint of the full training state (resumable)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        str(path),
+        {"params": params, "opt_state": opt_state, "step": step},
+        force=True,
+    )
+
+
+def restore_checkpoint(path, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(str(path), item=template)
+
+
 class Trainer:
     """Minimal fine-tuning loop over frames from the user's own footage."""
 
