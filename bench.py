@@ -51,7 +51,9 @@ def main() -> int:
     ups = ShardedUpscaler(model, grid, cfg, frame_mesh())
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (n_dev, h, w, 3), dtype=np.uint8)
+    frames = ups.stage(
+        rng.integers(0, 256, (n_dev, h, w, 3), dtype=np.uint8)
+    )
 
     # warmup / compile
     out = ups.process_batch(frames)

@@ -209,7 +209,14 @@ def auto_tile_chunk(
     VRAM-driven tile-size presets (video_upscaler.py:687-701)."""
     per_tile = extract_h * extract_w * scale * scale * feat_ch * 2
     chunk = max(1, budget_bytes // max(per_tile, 1))
-    return 0 if chunk >= n_tiles else int(chunk)
+    if chunk >= n_tiles:
+        return 0
+    # prefer a divisor of n_tiles: a non-divisor pads the last lax.map
+    # chunk with dead tiles (chunk=5 on 12 tiles computes 15)
+    for c in range(int(chunk), 0, -1):
+        if n_tiles % c == 0:
+            return c
+    return int(chunk)
 
 
 def _pad_frame(x: jax.Array, grid: TileGrid) -> jax.Array:
