@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from typing import Dict, Iterable, Optional, Union
+from typing import Dict
 
 import numpy as np
 

@@ -19,7 +19,7 @@ round can slot a learned face restorer behind the same region machinery.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

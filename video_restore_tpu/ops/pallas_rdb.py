@@ -43,36 +43,33 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
-def _conv_ref(src_ref, w_ref, dst_ref, *, oh: int, ow: int, cin: int, base: int):
-    """3x3 valid conv reading a window of ``src_ref`` starting at ``base``:
-    dst[y, x] = sum_{dy,dx} src[base+y+dy, base+x+dx, :cin] @ w[dy, dx].
+def _conv3x3_valid(a: jax.Array, w: jax.Array) -> jax.Array:
+    """(ah, aw, cin) x (3, 3, cin, cout) -> (ah-2, aw-2, cout) fp32.
 
-    Loop structure is dictated by Mosaic's indexing rules and scoped-VMEM
-    stack allocation: the row offset (leading, untiled dim) may be a traced
-    fori_loop index, while column offsets (sublane dim) must be static —
-    so we run three fori_loops over dy, one per static dx. Only one tap's
-    temporaries are live at a time (an unrolled 9-tap body stack-overflows
-    the 16MB scoped VMEM).
-    """
-    dst_ref[...] = jnp.zeros_like(dst_ref)
-
-    def make_row_tap(dx: int):
-        def tap(dy, _):
-            sl = src_ref[
-                pl.ds(base + dy, oh), base + dx : base + dx + ow, :cin
-            ]
-            wk = w_ref[dy, dx]
-            dst_ref[...] += lax.dot_general(
-                sl, wk,
+    Fully unrolled 9 shifted MXU matmuls on values. This needs
+    vmem_limit_bytes well above the 16MB default (Mosaic stack-allocates
+    the relayout copies of the unaligned slices); v5e has 128MB VMEM."""
+    ah, aw, cin = a.shape
+    oh, ow = ah - 2, aw - 2
+    cout = w.shape[-1]
+    acc = jnp.zeros((oh, ow, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = a[dy : dy + oh, dx : dx + ow, :]
+            acc = acc + lax.dot_general(
+                sl, w[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return 0
+    return acc
 
-        return tap
 
-    for dx in range(3):
-        lax.fori_loop(0, 3, make_row_tap(dx), 0)
+def _conv_ref(src_ref, w_ref, dst_ref, *, oh: int, ow: int, cin: int, base: int):
+    """3x3 valid conv reading a window of ``src_ref`` starting at ``base``,
+    accumulated into ``dst_ref`` (fp32)."""
+    dst_ref[...] = _conv3x3_valid(
+        src_ref[base : base + oh + 2, base : base + ow + 2, :cin], w_ref[:]
+    )
 
 
 def _rdb_kernel(
@@ -148,13 +145,14 @@ def _rdb_kernel(
 
 
 def _pick_block(h: int, w: int) -> Tuple[int, int]:
-    """Block size: 32 keeps the fused chain within the 16MB scoped-VMEM
-    budget at nf=64, gc=32; prefer a divisor of the extent."""
+    """Block size: 64 with a raised VMEM limit (v5e has 128MB; the 16MB
+    scoped-VMEM figure is only the compiler default); prefer a divisor of
+    the extent."""
     def pick(n):
-        for cand in (32, 48, 40, 24):
+        for cand in (64, 48, 32):
             if n % cand == 0:
                 return cand
-        return 32  # pad to a multiple
+        return 64  # pad to a multiple
 
     return pick(h), pick(w)
 
@@ -211,6 +209,9 @@ def rdb_fused(
             pltpu.VMEM((bh + 2, bw + 2, gc), x.dtype),  # c4
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xp, *wlist, *bias3)
     return out[:, :h, :w, :]

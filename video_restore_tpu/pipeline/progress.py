@@ -6,8 +6,6 @@ frames/s is the first-class metric (BASELINE.md north star)."""
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 
 class Progress:
     def __init__(self, total: int, desc: str = "Upscaling", enabled: bool = True):

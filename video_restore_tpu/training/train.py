@@ -20,7 +20,6 @@ the 3-channel output conv) stay replicated.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Union
+from typing import Union
 
 from video_restore_tpu.video.io_base import VideoInfo, VideoReader, VideoWriter
 
