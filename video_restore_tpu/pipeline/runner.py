@@ -223,8 +223,8 @@ class VideoRestorer:
         ups.reset_temporal()
         batch = ups.frames_per_batch * max(cfg.frames_per_batch, 1)
 
-        # resume bookkeeping (segments)
-        skip, segment_paths, manifest_path = self._resume_state(output_path)
+        # resume bookkeeping: the y4m output itself is the progress record
+        skip, manifest_path = self._resume_state(output_path)
         stats = PipelineStats(encoded=0)
 
         reader = open_reader(input_path)
@@ -267,7 +267,7 @@ class VideoRestorer:
             stats.encoded += valid
             stats.inferred += valid
             progress.update(valid)
-            self._checkpoint(manifest_path, segment_paths, stats.encoded + skip)
+            self._checkpoint(manifest_path, stats.encoded + skip)
 
         pending: List[np.ndarray] = []
         eof = False
@@ -312,7 +312,8 @@ class VideoRestorer:
         stats.decoded = decoder.decoded + skip
         stats.encoded += skip
 
-        self._finalize_segments(output_path, segment_paths, manifest_path)
+        if manifest_path is not None and manifest_path.exists():
+            manifest_path.unlink()  # complete: clear the progress marker
         if cfg.audio_copy:
             copy_audio(input_path, output_path)
         return stats
@@ -332,7 +333,6 @@ class VideoRestorer:
     # ------------------------------------------------------------------
     def _open_writer(self, output_path, w, h, fps):
         cfg = self.config
-        self._segment_writer = None
         if cfg.segment_frames > 0 and str(output_path).endswith(".y4m"):
             # segmented writing handled by Y4M append mode
             from video_restore_tpu.video.y4m import Y4MWriter
@@ -344,7 +344,11 @@ class VideoRestorer:
             codec=codec, crf=cfg.crf, preset=cfg.preset,
         )
 
-    def _resume_state(self, output_path) -> Tuple[int, list, Optional[Path]]:
+    def _resume_state(self, output_path) -> Tuple[int, Optional[Path]]:
+        """Returns (frames_to_skip, progress-manifest path or None).
+
+        The manifest is advisory (observability while running); the y4m
+        file itself is the source of truth for resume."""
         cfg = self.config
         if cfg.segment_frames <= 0 or not str(output_path).endswith(".y4m"):
             if cfg.resume:
@@ -352,20 +356,19 @@ class VideoRestorer:
                     "resume requires --segment-frames and a .y4m output; "
                     "starting from frame 0"
                 )
-            return 0, [], None
+            return 0, None
         manifest = Path(str(output_path) + ".progress.json")
         if cfg.resume and os.path.exists(output_path):
-            # The y4m file itself is the source of truth: fixed-size frames,
-            # so the completed-frame count is exact even after a crash. Trim
-            # any truncated partial frame, then continue appending.
+            # Fixed-size y4m frames make the completed-frame count exact
+            # even after a crash: trim any partial tail, keep appending.
             done = self._trim_partial_y4m(output_path)
             log.info("resuming at frame %d", done)
-            return done, [], manifest
+            return done, manifest
         if manifest.exists():
             manifest.unlink()
         if os.path.exists(output_path) and not cfg.resume:
             os.remove(output_path)
-        return 0, [], manifest
+        return 0, manifest
 
     @staticmethod
     def _trim_partial_y4m(path) -> int:
@@ -387,15 +390,9 @@ class VideoRestorer:
                 f.truncate(keep)
         return frames
 
-    def _checkpoint(self, manifest_path, segment_paths, frames_done: int):
-        cfg = self.config
-        if manifest_path is None or cfg.segment_frames <= 0:
-            return
-        manifest_path.write_text(json.dumps({"frames_done": frames_done}))
-
-    def _finalize_segments(self, output_path, segment_paths, manifest_path):
-        if manifest_path is not None and manifest_path.exists():
-            manifest_path.unlink()
+    def _checkpoint(self, manifest_path, frames_done: int) -> None:
+        if manifest_path is not None:
+            manifest_path.write_text(json.dumps({"frames_done": frames_done}))
 
     # ------------------------------------------------------------------
     def process_batch_dir(
