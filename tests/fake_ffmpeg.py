@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""A minimal fake ffmpeg/ffprobe for backend tests (no real binary here).
+
+Installed into PATH as `ffmpeg` and `ffprobe` symlinks by the test
+fixture. Speaks just enough of the CLI surface the backend uses:
+
+  ffprobe -v error -print_format json -show_streams -show_format FILE
+  ffmpeg -hide_banner -hwaccels
+  ffmpeg -loglevel error [-hwaccel X] -i IN -f rawvideo -pix_fmt rgb24 -
+  ffmpeg -y -loglevel error -f rawvideo ... -i - ... OUT
+  ffmpeg -y ... -i OUT -i SRC -map ... -c:v copy -c:a copy TMP
+
+Video payloads are .npz containers (frames+fps), so the fake can decode
+and encode losslessly.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def probe(path):
+    d = np.load(path)
+    frames = d["frames"]
+    fps = float(d["fps"]) if "fps" in d else 25.0
+    out = {
+        "streams": [
+            {
+                "codec_type": "video",
+                "width": int(frames.shape[2]),
+                "height": int(frames.shape[1]),
+                "r_frame_rate": f"{int(round(fps * 1000))}/1000",
+                "nb_frames": str(frames.shape[0]),
+                "codec_name": "fakecodec",
+                "pix_fmt": "yuv420p",
+            }
+        ],
+        "format": {"duration": str(frames.shape[0] / fps)},
+    }
+    if "audio" in d:
+        out["streams"].append({"codec_type": "audio"})
+    print(json.dumps(out))
+
+
+def main(argv):
+    prog = os.path.basename(argv[0])
+    args = argv[1:]
+    if prog == "ffprobe" or "-show_streams" in args:
+        probe(args[-1])
+        return 0
+    if "-hwaccels" in args:
+        print("Hardware acceleration methods:\nvaapi\n")
+        return 0
+    if "-f" in args and "rawvideo" in args and args[-1] == "-":
+        # decode: npz -> raw rgb24 on stdout
+        src = args[args.index("-i") + 1]
+        d = np.load(src)
+        for f in d["frames"]:
+            sys.stdout.buffer.write(np.ascontiguousarray(f).tobytes())
+        return 0
+    if "-i" in args and args[args.index("-i") + 1] == "-":
+        # encode: raw rgb24 on stdin -> npz at last arg
+        s = args[args.index("-s") + 1]
+        w, h = (int(x) for x in s.split("x"))
+        fps = float(args[args.index("-r") + 1])
+        raw = sys.stdin.buffer.read()
+        n = len(raw) // (w * h * 3)
+        frames = np.frombuffer(raw[: n * w * h * 3], np.uint8).reshape(
+            n, h, w, 3
+        )
+        with open(args[-1], "wb") as fh:  # exact path (savez appends .npz)
+            np.savez(fh, frames=frames, fps=fps)
+        return 0
+    if "-c:v" in args and "copy" in args:
+        # mux: copy video of input0, mark audio from input1 if present
+        i1 = args.index("-i")
+        vid = args[i1 + 1]
+        i2 = args.index("-i", i1 + 1)
+        src = args[i2 + 1]
+        out = args[-1]
+        d = dict(np.load(vid))
+        sd = np.load(src)
+        if "audio" in sd:
+            d["audio"] = sd["audio"]
+        else:
+            print("no audio stream", file=sys.stderr)
+            return 1
+        with open(out, "wb") as fh:
+            np.savez(fh, **d)
+        return 0
+    print(f"fake ffmpeg: unhandled args {args}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
