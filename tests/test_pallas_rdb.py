@@ -44,6 +44,28 @@ def test_rdb_fused_bf16(rng):
     assert np.abs(out - ref).max() < 0.05
 
 
+def test_rrdb_fused_matches_reference(rng):
+    """Whole-RRDB fusion vs the XLA regrouped reference."""
+    from video_restore_tpu.models.rrdbnet import (
+        _rrdb_apply_regrouped,
+        init_rrdbnet,
+    )
+    from video_restore_tpu.ops.pallas_rdb import rrdb_fused
+
+    nf, gc = 16, 8
+    spec = RRDBNetSpec(num_feat=nf, num_block=1, num_grow_ch=gc)
+    params = init_rrdbnet(jax.random.PRNGKey(2), spec)
+    block = jax.tree.map(lambda a: a[0], params["body"])
+    tp = {}
+    for r in ("rdb1", "rdb2", "rdb3"):
+        ws, bs = _regroup_rdb_weights(block[r], nf, gc)
+        tp[r] = {"w": tuple(ws), "b": tuple(bs)}
+    x = jnp.asarray(rng.random((1, 40, 48, nf)).astype(np.float32))
+    ref = np.asarray(_rrdb_apply_regrouped(tp, x))
+    out = np.asarray(rrdb_fused(x, tp, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-3)
+
+
 def test_full_model_pallas_path_interpret(rng):
     """apply_rrdbnet(use_pallas=True) through interpret-mode pallas must
     agree with the XLA path end to end."""
@@ -57,11 +79,11 @@ def test_full_model_pallas_path_interpret(rng):
     x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
 
-    orig = pk.rdb_fused
+    orig = pk.rrdb_fused
 
-    def interp(xx, ws, bs, interpret=False):
-        return orig(xx, ws, bs, interpret=True)
+    def interp(xx, tp, interpret=False):
+        return orig(xx, tp, interpret=True)
 
-    with mock.patch.object(pk, "rdb_fused", interp):
+    with mock.patch.object(pk, "rrdb_fused", interp):
         out = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=True))
     np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-3)

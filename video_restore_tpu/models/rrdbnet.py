@@ -262,13 +262,11 @@ def _rrdb_apply_sd(tp: Params, xc) -> "tuple":
 
 
 def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
-    """RRDB via the fused Pallas RDB kernel (ops/pallas_rdb.py)."""
-    from video_restore_tpu.ops.pallas_rdb import rdb_fused
+    """RRDB via the fully-fused Pallas kernel (ops/pallas_rdb.py): one HBM
+    read and one write per spatial block for the whole 3-RDB chain."""
+    from video_restore_tpu.ops.pallas_rdb import rrdb_fused
 
-    out = rdb_fused(x, tp["rdb1"]["w"], tp["rdb1"]["b"])
-    out = rdb_fused(out, tp["rdb2"]["w"], tp["rdb2"]["b"])
-    out = rdb_fused(out, tp["rdb3"]["w"], tp["rdb3"]["b"])
-    return out * jnp.asarray(0.2, x.dtype) + x
+    return rrdb_fused(x, tp)
 
 
 def default_use_pallas() -> bool:
