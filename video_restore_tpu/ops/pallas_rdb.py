@@ -264,7 +264,10 @@ def rrdb_fused(x: jax.Array, tp, interpret: bool = False) -> jax.Array:
     """
     b, h, w, nf = x.shape
     gc = tp["rdb1"]["w"][1].shape[-2]
-    bh, bw = _pick_block(h, w, prefer=(128, 96, 64))
+    # 64 is the largest block the Mosaic compile-helper handles for the
+    # 3-RDB chain (128 blows up compile memory); halo overhead then makes
+    # this kernel ~0.88x of the XLA path — hence opt-in.
+    bh, bw = _pick_block(h, w, prefer=(64, 48, 32))
     pad = 16  # >= 3*_HALO, 8-aligned
     ph = (bh - h % bh) % bh
     pw = (bw - w % bw) % bw
