@@ -160,13 +160,15 @@ def main(argv=None) -> int:
         # platform plugin the environment forces
         jax.config.update("jax_platforms", "cpu")
     # persistent XLA compilation cache: first compile of a (model, tile,
-    # resolution) bucket can take minutes on TPU; later runs start instantly
+    # resolution) bucket can take minutes on TPU; later runs start
+    # instantly. TPU-only: CPU AOT artifacts are machine-feature-pinned
+    # and can SIGILL when the host fleet is heterogeneous.
     import os as _os
 
     cache = _os.environ.get(
         "VRT_XLA_CACHE", _os.path.expanduser("~/.cache/video_restore_tpu/xla")
     )
-    if cache:
+    if cache and not args.cpu:
         try:
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
