@@ -61,6 +61,17 @@ def test_enhanced_implies_light_denoise():
     assert not cfg2.enhanced_mode and cfg2.denoise == 0.0
 
 
+def test_denoise_without_enhanced_still_applies():
+    """--denoise/--sharpen alone must not be silently ignored."""
+    from video_restore_tpu.parallel.dispatch import StepConfig
+
+    p = build_parser()
+    cfg = config_from_args(p.parse_args(["a", "b", "--denoise", "0.7"]))
+    sc = StepConfig.from_config(cfg)
+    assert sc.denoise == 0.7
+    assert not sc.temporal and not sc.color_enhance  # enhanced-only extras
+
+
 def test_anime_mode_selects_anime_model():
     p = build_parser()
     cfg = config_from_args(p.parse_args(["a", "b", "--anime-mode"]))

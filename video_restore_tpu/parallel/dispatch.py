@@ -54,7 +54,9 @@ class StepConfig:
     @staticmethod
     def from_config(cfg: RestoreConfig) -> "StepConfig":
         if not cfg.enhanced_mode:
-            return StepConfig()
+            # explicit --denoise/--sharpen strengths are honoured even
+            # without --enhanced; the enhanced flag adds CLAHE + temporal
+            return StepConfig(denoise=cfg.denoise, sharpen=cfg.sharpen)
         return StepConfig(
             denoise=cfg.denoise,
             sharpen=cfg.sharpen,
