@@ -18,7 +18,20 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
+
+    # persistent compile cache: first-compile of this program takes minutes
+    # on TPU; cached runs start in seconds
+    cache = os.environ.get(
+        "VRT_XLA_CACHE", os.path.expanduser("~/.cache/video_restore_tpu/xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from video_restore_tpu.config import RestoreConfig
     from video_restore_tpu.models.zoo import random_model
