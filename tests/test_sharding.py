@@ -140,3 +140,104 @@ def test_batch_not_divisible_raises(tiny_frames):
     ups = ShardedUpscaler(model, grid, _cfg(), frame_mesh(8))
     with pytest.raises(ValueError):
         ups.process_batch(tiny_frames[:5])
+
+
+# ---- temporal carry semantics (restore_step level) ----------------------
+
+from video_restore_tpu.parallel.dispatch import StepConfig, restore_step
+
+
+def _identity_step(frames_u8, carry, *, strength=0.5, n_shards=1, cut=0.12):
+    """restore_step with a nearest-upsample 'model' so pixel values are
+    exactly predictable."""
+    grid = TileGrid.build(
+        frames_u8.shape[1], frames_u8.shape[2], 16, 4, 2
+    )
+
+    def apply_fn(params, t):
+        return jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2).astype(
+            jnp.float32
+        )
+
+    cfg = StepConfig(
+        temporal=True, temporal_strength=strength, scene_cut_thresh=cut
+    )
+    return restore_step(
+        None,
+        jnp.asarray(frames_u8),
+        carry,
+        model_apply=apply_fn,
+        grid=grid,
+        step_cfg=cfg,
+        compute_dtype=jnp.float32,
+        n_shards=n_shards,
+    )
+
+
+def _fresh_carry(n_shards, hs, ws):
+    return {
+        "frame": jnp.zeros((n_shards, hs, ws, 3), jnp.uint8),
+        "valid": jnp.zeros((n_shards,), jnp.float32),
+    }
+
+
+def test_temporal_black_frame_is_valid_prev():
+    """An all-black previous frame must act as a real previous frame, not
+    as the stream-start sentinel (VERDICT r1 #6)."""
+    h, w = 32, 32
+    black = np.zeros((1, h, w, 3), np.uint8)
+    dim = np.full((1, h, w, 3), 10, np.uint8)
+
+    carry = _fresh_carry(1, h * 2, w * 2)
+    out0, carry = _identity_step(black, carry)
+    assert np.asarray(out0).max() == 0  # stream start: passthrough
+    assert float(carry["valid"][0]) == 1.0
+
+    out1, _ = _identity_step(dim, carry)
+    # fresh-stream run of the same frame: no previous -> passthrough
+    out_fresh, _ = _identity_step(dim, _fresh_carry(1, h * 2, w * 2))
+    assert np.asarray(out_fresh).max() == 10
+    # continuing run: blended toward the black previous frame
+    assert np.asarray(out1).max() < 10
+
+
+def test_temporal_scene_cut_passthrough():
+    """A hard cut must reset the EMA: output bit-identical to a fresh
+    stream."""
+    h, w = 32, 32
+    a = np.full((1, h, w, 3), 51, np.uint8)   # 0.2
+    b = np.full((1, h, w, 3), 204, np.uint8)  # 0.8 -> mean delta 0.6 >> 0.12
+
+    carry = _fresh_carry(1, h * 2, w * 2)
+    _, carry = _identity_step(a, carry)
+    out_cut, carry2 = _identity_step(b, carry)
+    out_fresh, _ = _identity_step(b, _fresh_carry(1, h * 2, w * 2))
+    np.testing.assert_array_equal(np.asarray(out_cut), np.asarray(out_fresh))
+    # and the carry after the cut is the new scene's frame
+    np.testing.assert_array_equal(
+        np.asarray(carry2["frame"][0]), np.asarray(out_cut)[0]
+    )
+
+
+def test_temporal_multidevice_stale_carry_gate():
+    """D>1 pins the intended approximation (ADVICE r1): the cross-batch
+    carry is B-k+1 frames stale; static content still blends, content in
+    steady motion is gated as strictly as in the sequential case."""
+    h, w, d = 16, 16, 8
+    base = np.full((d, h, w, 3), 100, np.uint8)
+
+    # near-static: +1 gray level between batches -> blend engages
+    # (w = exp(-(1/255) * 8 / 0.05) = 0.53 at strength 1)
+    carry = _fresh_carry(d, h * 2, w * 2)
+    out0, carry = _identity_step(base, carry, n_shards=d, strength=1.0)
+    nxt = base + 1
+    out1, _ = _identity_step(nxt, carry, n_shards=d, strength=1.0)
+    # blended below the raw value 101 on every shard
+    assert np.asarray(out1).max() < 101
+
+    # moving content: delta 13/255 * gap 8 >> sigma -> passthrough
+    carry = _fresh_carry(d, h * 2, w * 2)
+    _, carry = _identity_step(base, carry, n_shards=d, cut=1.0)
+    far = base + 13
+    out2, _ = _identity_step(far, carry, n_shards=d, cut=1.0)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(far).repeat(2, 1).repeat(2, 2))

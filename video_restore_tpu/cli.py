@@ -109,15 +109,18 @@ Examples:
 
 
 def config_from_args(args: argparse.Namespace) -> RestoreConfig:
+    # --anime-mode implies the enhanced stack; the preset matrix and the
+    # implied denoise must see the same effective flag or anime runs get an
+    # inconsistent half-enhanced configuration (ADVICE r1).
+    enhanced = args.enhanced or args.anime_mode
     crf, preset, tile, overlap = apply_quality_preset(
-        args.quality, args.enhanced,
+        args.quality, enhanced,
         crf=args.crf, preset=args.preset,
         tile_size=args.tile_size, tile_overlap=args.tile_overlap,
     )
-    enhanced = args.enhanced or args.anime_mode
     # --enhanced implies the reference's light_denoise (video_upscaler.py:714)
     denoise = args.denoise if args.denoise is not None else (
-        0.5 if args.enhanced else 0.0
+        0.5 if enhanced else 0.0
     )
     sharpen = args.sharpen if args.sharpen is not None else 0.0
     return RestoreConfig(

@@ -72,6 +72,7 @@ class RestoreConfig:
     sharpen: float = 0.0  # 0..1 unsharp-mask strength (README.md:141)
     temporal: bool = True  # temporal consistency when enhanced (README.md:9)
     temporal_strength: float = 0.3
+    scene_cut_thresh: float = 0.12  # mean luma delta that resets the EMA
     color_enhance: bool = True  # CLAHE when enhanced (README.md:11)
     clahe_clip: float = 2.0
     clahe_lr: bool = True  # apply CLAHE pre-upscale (16x cheaper, same look)

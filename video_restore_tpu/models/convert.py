@@ -21,11 +21,27 @@ import numpy as np
 
 
 def _load_state_dict(path: Union[str, Path]) -> Dict[str, np.ndarray]:
+    import os
+
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        # weights_only=False executes arbitrary pickle code: only allow it
+        # on explicit opt-in (a corrupt download or a hostile user-supplied
+        # .pth must not silently escalate to code execution).
+        if os.environ.get("VRT_UNSAFE_PICKLE") != "1":
+            raise RuntimeError(
+                f"safe (weights_only) load of {path} failed: {e}. If you "
+                "trust this checkpoint, retry with VRT_UNSAFE_PICKLE=1."
+            ) from e
+        import logging
+
+        logging.getLogger("video_restore_tpu").warning(
+            "loading %s with weights_only=False (VRT_UNSAFE_PICKLE=1): "
+            "pickle code in the file will execute", path,
+        )
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("params_ema", "params", "state_dict"):
         if isinstance(ckpt, dict) and key in ckpt:

@@ -482,11 +482,13 @@ def apply_rrdbnet(
     """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
 
     ``naive=True`` uses the torch-ordered RDB formulation (parity testing).
-    The default source-major path computes identical values much faster on
-    TPU (MXU occupancy — see _regroup_rdb_weights); on real TPUs the stem +
-    body additionally run in the space-to-depth domain (ops/sdconv.py,
-    exact) unless ``sd=False`` or VRT_NO_SD=1, and the fused Pallas RDB
-    kernel can be opted in with VRT_PALLAS=1."""
+    The default source-major regrouped path computes identical values much
+    faster on TPU (MXU occupancy — see _regroup_rdb_weights) and is the
+    production path. Two exact alternatives are opt-IN via env var:
+    VRT_SD=1 runs the stem + body in the space-to-depth domain
+    (ops/sdconv.py), and VRT_PALLAS=1 uses the fused Pallas RDB kernel;
+    both measured slower than the regrouped path in round 1 (see
+    BENCH_NOTES.md dead ends)."""
     if use_pallas is None:
         use_pallas = not naive and default_use_pallas()
     if sd is None:

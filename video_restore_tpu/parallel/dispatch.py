@@ -13,12 +13,20 @@ queue (which silently drop frames, SURVEY.md §2.6 #1). Transfers move uint8
 (4x less host<->device traffic than float32).
 
 Temporal consistency note: the EMA is sequential in time. Each device scans
-its own contiguous chunk of frames (lax.scan over the per-device time axis),
-and the host carries the boundary frame between successive *batches* so a
-single-device run is exactly sequential. With D > 1 devices the EMA restarts
-at intra-batch chunk boundaries — a deliberate parallel-friendly
-approximation (the motion-adaptive weight makes restarts invisible; the
-reference has no temporal processing at all).
+its own contiguous chunk of frames (lax.scan over the per-device time axis)
+and carries its chunk's last output across batches. With one carry shard
+(single device, or 'tiles' shard mode) that is exactly sequential. With
+D > 1 frame shards the cross-batch carry is *stale*: chunk d's carry is the
+same chunk's last output from the previous batch, i.e. gap = B - k + 1
+frames back instead of 1. The blend stays safe because the motion gate is
+displacement-invariant — the exp length-scale is divided by the gap, so a
+carry g frames old must clear a g-times stricter static-ness bar; content
+moving at any steady speed sees the same effective gate as in the
+sequential case, and truly static regions (where the EMA has any effect)
+are identical g frames apart. A per-frame scene-cut detector (mean luma
+delta > scene_cut_thresh) hard-resets the blend. The carry is an explicit
+{frame, valid} pair, so an all-black previous frame is still a valid
+previous frame (it is not a stream-start sentinel).
 """
 
 from __future__ import annotations
@@ -50,6 +58,7 @@ class StepConfig:
     clahe_lr: bool = True  # CLAHE on the LR input (16x cheaper than at 4K)
     temporal: bool = False
     temporal_strength: float = 0.3
+    scene_cut_thresh: float = 0.12  # mean |delta| (0-1 units) => hard reset
 
     @staticmethod
     def from_config(cfg: RestoreConfig) -> "StepConfig":
@@ -65,13 +74,14 @@ class StepConfig:
             clahe_lr=cfg.clahe_lr,
             temporal=cfg.temporal,
             temporal_strength=cfg.temporal_strength,
+            scene_cut_thresh=cfg.scene_cut_thresh,
         )
 
 
 def restore_step(
     params: Any,
     frames_u8: jax.Array,
-    carry: jax.Array,
+    carry: dict,
     *,
     model_apply,
     grid: TileGrid,
@@ -79,11 +89,13 @@ def restore_step(
     compute_dtype,
     n_shards: int,
     tile_sharding=None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, dict]:
     """(B, H, W, 3) uint8 -> (B, H*s, W*s, 3) uint8 + temporal carry.
 
-    carry: (n_shards, H*s, W*s, 3) uint8 — last output frame per device
-    chunk; all-zeros means "no previous frame" (stream start).
+    carry: {"frame": (n_shards, H*s, W*s, 3) uint8 — last output frame per
+    device chunk; "valid": (n_shards,) float32 in {0, 1} — 1 once the chunk
+    has a previous frame}. The explicit flag (not a zero-frame sentinel)
+    keeps an all-black previous frame distinguishable from stream start.
     """
     x = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
 
@@ -113,22 +125,44 @@ def restore_step(
         b = y.shape[0]
         k = b // n_shards
         yc = y.reshape((n_shards, k) + y.shape[1:])
-        prev = carry.astype(jnp.float32) * (1.0 / 255.0)
-        has_prev = jnp.any(carry > 0)
-        prev = jnp.where(has_prev, prev, yc[:, 0])
+        prev = carry["frame"].astype(jnp.float32) * (1.0 / 255.0)
         # scan over the per-device time axis; devices advance in lockstep
         yt = jnp.moveaxis(yc, 1, 0)  # (k, D, Hs, Ws, C)
+        # Step 0's carry is gap0 frames old (1 when there is a single carry
+        # shard, B - k + 1 when D chunks advance one batch at a time);
+        # subsequent steps within the chunk are exactly sequential (gap 1).
+        gap0 = float(b - k + 1)
+        gaps = jnp.concatenate(
+            [jnp.full((1,), gap0, jnp.float32), jnp.ones((k - 1,), jnp.float32)]
+        )
+        valids = jnp.concatenate(
+            [carry["valid"][None], jnp.ones((k - 1, n_shards), jnp.float32)]
+        )
 
         # EMA elementwise over the (sharded) device axis, scanned over time
-        def scan_fn(c, fr):
+        def scan_fn(c, xs):
+            fr, gap, valid = xs
             diff = jnp.abs(fr - c).mean(axis=-1, keepdims=True)
-            w = step_cfg.temporal_strength * jnp.exp(-diff / 0.05)
+            # displacement-invariant gate: a gap-frames-old carry must be
+            # gap times more static to blend at the same weight
+            w = step_cfg.temporal_strength * jnp.exp(-diff * (gap / 0.05))
+            w = w * valid[:, None, None, None]
+            # scene cut: large mean luma delta => pass the new frame through
+            cut = diff.mean(axis=(1, 2, 3), keepdims=True) > (
+                step_cfg.scene_cut_thresh
+            )
+            w = jnp.where(cut, 0.0, w)
             out = (1.0 - w) * fr + w * c
             return out, out
 
-        last, outs = jax.lax.scan(scan_fn, prev, yt)
+        last, outs = jax.lax.scan(scan_fn, prev, (yt, gaps, valids))
         y = jnp.moveaxis(outs, 0, 1).reshape(y.shape)
-        new_carry = jnp.clip(jnp.round(last * 255.0), 0, 255).astype(jnp.uint8)
+        new_carry = {
+            "frame": jnp.clip(jnp.round(last * 255.0), 0, 255).astype(
+                jnp.uint8
+            ),
+            "valid": jnp.ones((n_shards,), jnp.float32),
+        }
     else:
         new_carry = carry
 
@@ -186,10 +220,11 @@ class ShardedUpscaler:
             n_shards=n_shards,
             tile_sharding=tile_sharding,
         )
+        carry_shardings = {"frame": carry_shard, "valid": carry_shard}
         self._step = jax.jit(
             fn,
-            in_shardings=(self._repl, frame_shard, carry_shard),
-            out_shardings=(frame_shard, carry_shard),
+            in_shardings=(self._repl, frame_shard, carry_shardings),
+            out_shardings=(frame_shard, carry_shardings),
             donate_argnums=(2,),
         )
         self._frame_shard = frame_shard
@@ -204,10 +239,13 @@ class ShardedUpscaler:
     def reset_temporal(self) -> None:
         self._carry = None
 
-    def _init_carry(self) -> jax.Array:
+    def _init_carry(self) -> dict:
         hs = self.grid.height * self.scale
         ws = self.grid.width * self.scale
-        z = jnp.zeros((self._n_carry_shards, hs, ws, 3), jnp.uint8)
+        z = {
+            "frame": jnp.zeros((self._n_carry_shards, hs, ws, 3), jnp.uint8),
+            "valid": jnp.zeros((self._n_carry_shards,), jnp.float32),
+        }
         return jax.device_put(z, self._carry_shard)
 
     def process_batch(self, frames_u8: np.ndarray) -> jax.Array:

@@ -194,10 +194,10 @@ class VideoRestorer:
             "done: %d frames in %.1fs (%.2f fps, %.2f fps/chip)",
             stats.encoded, stats.wall_s, stats.fps, stats.fps / n,
         )
-        if stats.decoded != stats.encoded:
+        if not (stats.decoded == stats.inferred == stats.encoded):
             log.error(
-                "frame accounting mismatch: decoded=%d encoded=%d",
-                stats.decoded, stats.encoded,
+                "frame accounting mismatch: decoded=%d inferred=%d encoded=%d",
+                stats.decoded, stats.inferred, stats.encoded,
             )
             return False
         return True
@@ -224,7 +224,9 @@ class VideoRestorer:
         batch = ups.frames_per_batch * max(cfg.frames_per_batch, 1)
 
         # resume bookkeeping: the y4m output itself is the progress record
-        skip, manifest_path = self._resume_state(output_path)
+        skip, manifest_path = self._resume_state(
+            output_path, out_w, out_h, info.fps
+        )
         stats = PipelineStats(encoded=0)
 
         reader = open_reader(input_path)
@@ -253,6 +255,7 @@ class VideoRestorer:
             out, valid, faces = inflight.popleft()
             with timer.stage("fetch"):
                 arr = np.asarray(out)  # D2H (async result)
+            stats.inferred += valid  # device result materialized on host
             with timer.stage("encode"):
                 for i, f in enumerate(arr[:valid]):
                     if faces is not None and faces[i]:
@@ -265,7 +268,6 @@ class VideoRestorer:
                         )
                     writer.write(resize(f))
             stats.encoded += valid
-            stats.inferred += valid
             progress.update(valid)
             self._checkpoint(manifest_path, stats.encoded + skip)
 
@@ -310,6 +312,7 @@ class VideoRestorer:
         timer.log_summary()
 
         stats.decoded = decoder.decoded + skip
+        stats.inferred += skip
         stats.encoded += skip
 
         if manifest_path is not None and manifest_path.exists():
@@ -344,7 +347,9 @@ class VideoRestorer:
             codec=codec, crf=cfg.crf, preset=cfg.preset,
         )
 
-    def _resume_state(self, output_path) -> Tuple[int, Optional[Path]]:
+    def _resume_state(
+        self, output_path, out_w: int, out_h: int, fps: float
+    ) -> Tuple[int, Optional[Path]]:
         """Returns (frames_to_skip, progress-manifest path or None).
 
         The manifest is advisory (observability while running); the y4m
@@ -359,6 +364,10 @@ class VideoRestorer:
             return 0, None
         manifest = Path(str(output_path) + ".progress.json")
         if cfg.resume and os.path.exists(output_path):
+            # Appending frames of the wrong geometry would silently corrupt
+            # the file (and mis-count the skip), so the existing header must
+            # match this run's output parameters exactly.
+            self._check_resume_header(output_path, out_w, out_h, fps)
             # Fixed-size y4m frames make the completed-frame count exact
             # even after a crash: trim any partial tail, keep appending.
             done = self._trim_partial_y4m(output_path)
@@ -369,6 +378,29 @@ class VideoRestorer:
         if os.path.exists(output_path) and not cfg.resume:
             os.remove(output_path)
         return 0, manifest
+
+    @staticmethod
+    def _check_resume_header(path, out_w: int, out_h: int, fps: float) -> None:
+        from video_restore_tpu.video.y4m import Y4MReader
+
+        with Y4MReader(path) as r:
+            info = r.info
+            colorspace = r._colorspace
+        problems = []
+        if (info.width, info.height) != (out_w, out_h):
+            problems.append(
+                f"size {info.width}x{info.height} != {out_w}x{out_h}"
+            )
+        if abs(info.fps - fps) > 1e-3:
+            problems.append(f"fps {info.fps:g} != {fps:g}")
+        if colorspace != "420jpeg":
+            problems.append(f"colorspace C{colorspace} != C420jpeg")
+        if problems:
+            raise ValueError(
+                f"cannot resume into {path}: existing output does not match "
+                f"this run ({'; '.join(problems)}). Remove the file or drop "
+                "--resume."
+            )
 
     @staticmethod
     def _trim_partial_y4m(path) -> int:
