@@ -104,11 +104,15 @@ def convert_srvgg(sd: Dict[str, np.ndarray], num_conv: int) -> Dict[str, Any]:
 
 
 def convert_pth_to_params(path: Union[str, Path], model_name: str) -> Dict[str, Any]:
+    from video_restore_tpu.models.manifests import validate_state_dict
     from video_restore_tpu.models.rrdbnet import RRDBNetSpec
     from video_restore_tpu.models.zoo import MODEL_ZOO
 
     spec = MODEL_ZOO[model_name].spec
     sd = _load_state_dict(path)
+    # fail loudly (with a key diff) on any deviation from the released
+    # checkpoint schema rather than producing a silently broken model
+    validate_state_dict(sd, model_name)
     if isinstance(spec, RRDBNetSpec):
         return convert_rrdbnet(sd, spec.num_block)
     return convert_srvgg(sd, spec.num_conv)
