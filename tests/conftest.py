@@ -20,6 +20,27 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture
+def fake_ffmpeg_bin(tmp_path, monkeypatch):
+    """Install the fake ffmpeg/ffprobe (tests/fake_ffmpeg.py) on PATH."""
+    import os
+    import stat
+    import sys
+    from pathlib import Path
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = Path(__file__).parent / "fake_ffmpeg.py"
+    for name in ("ffmpeg", "ffprobe"):
+        p = bindir / name
+        p.write_text(
+            f"#!{sys.executable}\n" + fake.read_text().split("\n", 1)[1]
+        )
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    return bindir
+
+
 @pytest.fixture(scope="session")
 def tiny_frames():
     """Deterministic 8-frame 48x64 synthetic clip (uint8 RGB): moving

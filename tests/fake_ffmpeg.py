@@ -73,6 +73,19 @@ def main(argv):
         with open(args[-1], "wb") as fh:  # exact path (savez appends .npz)
             np.savez(fh, frames=frames, fps=fps)
         return 0
+    if "-f" in args and "concat" in args:
+        # concat demuxer: -f concat -safe 0 -i LIST -c copy OUT
+        lst = args[args.index("-i") + 1]
+        files = [
+            line.strip()[6:-1]
+            for line in open(lst)
+            if line.startswith("file ")
+        ]
+        frames = np.concatenate([np.load(f)["frames"] for f in files])
+        fps = float(np.load(files[0])["fps"])
+        with open(args[-1], "wb") as fh:
+            np.savez(fh, frames=frames, fps=fps)
+        return 0
     if "-c:v" in args and "copy" in args:
         # mux: copy video of input0, mark audio from input1 if present
         i1 = args.index("-i")

@@ -83,3 +83,43 @@ def test_metrics_shape_mismatch(tmp_path, tiny_frames):
         w.write(tiny_frames[0][:24, :32])
     with pytest.raises(ValueError):
         compare_videos(str(a), str(b))
+
+
+def test_codec_roundtrip_plumbing(fake_ffmpeg_bin, tiny_frames):
+    """The ffmpeg-rendered preset path drives the real subprocess plumbing
+    (encode pipe + decode) — exercised against the fake binary."""
+    from video_restore_tpu.video.fixtures import degrade_frames
+
+    out = degrade_frames(
+        list(tiny_frames), "blocky_mpeg", use_ffmpeg=True, fps=25.0
+    )
+    base = degrade_frames(list(tiny_frames), "blocky_mpeg", fps=25.0)
+    assert len(out) == len(base)
+    assert out[0].shape == base[0].shape
+    assert out[0].dtype == np.uint8
+
+
+def test_codec_roundtrip_requires_ffmpeg(monkeypatch, tiny_frames):
+    """use_ffmpeg=True without a binary fails loudly, not silently."""
+    import pytest
+
+    from video_restore_tpu.video import fixtures
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    with pytest.raises(RuntimeError, match="ffmpeg binary required"):
+        fixtures.degrade_frames(
+            list(tiny_frames[:2]), "heavy_compression",
+            use_ffmpeg=True, fps=25.0,
+        )
+
+
+def test_presets_without_ffmpeg_unchanged(tiny_frames):
+    """Default path never touches ffmpeg (use_ffmpeg defaults off)."""
+    from video_restore_tpu.video.fixtures import degrade_frames
+
+    a = degrade_frames(list(tiny_frames), "heavy_compression", seed=1)
+    b = degrade_frames(
+        list(tiny_frames), "heavy_compression", seed=1, use_ffmpeg=False
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

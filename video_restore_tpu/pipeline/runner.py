@@ -239,33 +239,53 @@ class VideoRestorer:
         if skip:
             progress.update(skip)
 
-        inflight: deque = deque()  # (device_array, valid_count, face_boxes)
+        inflight: deque = deque()  # (device_array, valid_count, face_futs)
         resize = self._resizer(out_w, out_h, scale, info)
         timer = StageTimer()
         face_cfg = cfg.face_enhance
+        # Face detection (Haar, host CPU) and region blending run on a
+        # thread pool so they overlap device compute and D2H instead of
+        # serializing the dispatch loop (round-1 review, weak item #6;
+        # cv2/numpy release the GIL for the heavy parts).
+        face_pool = None
+        if face_cfg:
+            from concurrent.futures import ThreadPoolExecutor
+
+            face_pool = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 4),
+                thread_name_prefix="faces",
+            )
 
         def detect_batch_faces(frames):
             if not face_cfg:
                 return None
             from video_restore_tpu.ops.faces import detect_faces
 
-            return [detect_faces(f) for f in frames]
+            return [face_pool.submit(detect_faces, f) for f in frames]
+
+        def _enhance_one(args):
+            f, boxes = args
+            if not boxes:
+                return f
+            from video_restore_tpu.ops.faces import enhance_face_regions
+
+            return enhance_face_regions(f, boxes, scale, cfg.face_strength)
 
         def drain_one():
-            out, valid, faces = inflight.popleft()
+            out, valid, face_futs = inflight.popleft()
             with timer.stage("fetch"):
                 arr = np.asarray(out)  # D2H (async result)
             stats.inferred += valid  # device result materialized on host
             with timer.stage("encode"):
-                for i, f in enumerate(arr[:valid]):
-                    if faces is not None and faces[i]:
-                        from video_restore_tpu.ops.faces import (
-                            enhance_face_regions,
-                        )
-
-                        f = enhance_face_regions(
-                            f, faces[i], scale, cfg.face_strength
-                        )
+                frames_out = arr[:valid]
+                if face_futs is not None:
+                    boxes = [f.result() for f in face_futs]
+                    # pool map preserves order; blending overlaps across
+                    # frames while the writer consumes sequentially
+                    frames_out = face_pool.map(
+                        _enhance_one, zip(frames_out, boxes)
+                    )
+                for f in frames_out:
                     writer.write(resize(f))
             stats.encoded += valid
             progress.update(valid)
@@ -306,10 +326,14 @@ class VideoRestorer:
         finally:
             decoder.stop()
             decoder.join(timeout=10)
+            if face_pool is not None:
+                face_pool.shutdown(wait=True)
             writer.close()
             progress.close()
             reader.close()
         timer.log_summary()
+        if hasattr(writer, "finalize"):
+            writer.finalize()  # successful run: concat segments + clean up
 
         stats.decoded = decoder.decoded + skip
         stats.inferred += skip
@@ -336,11 +360,19 @@ class VideoRestorer:
     # ------------------------------------------------------------------
     def _open_writer(self, output_path, w, h, fps):
         cfg = self.config
-        if cfg.segment_frames > 0 and str(output_path).endswith(".y4m"):
-            # segmented writing handled by Y4M append mode
-            from video_restore_tpu.video.y4m import Y4MWriter
+        if cfg.segment_frames > 0:
+            if str(output_path).endswith(".y4m"):
+                # y4m frames are fixed-size: append mode alone is crash-safe
+                from video_restore_tpu.video.y4m import Y4MWriter
 
-            return Y4MWriter(output_path, w, h, fps, append=cfg.resume)
+                return Y4MWriter(output_path, w, h, fps, append=cfg.resume)
+            from video_restore_tpu.video.segmented import SegmentedWriter
+
+            return SegmentedWriter(
+                output_path, w, h, fps,
+                codec=cfg.video_codec, crf=cfg.crf, preset=cfg.preset,
+                segment_frames=cfg.segment_frames, resume=cfg.resume,
+            )
         codec = cfg.video_codec
         return open_writer(
             output_path, w, h, fps,
@@ -355,14 +387,28 @@ class VideoRestorer:
         The manifest is advisory (observability while running); the y4m
         file itself is the source of truth for resume."""
         cfg = self.config
-        if cfg.segment_frames <= 0 or not str(output_path).endswith(".y4m"):
+        if cfg.segment_frames <= 0:
             if cfg.resume:
                 log.warning(
-                    "resume requires --segment-frames and a .y4m output; "
-                    "starting from frame 0"
+                    "resume requires --segment-frames; starting from frame 0"
                 )
             return 0, None
         manifest = Path(str(output_path) + ".progress.json")
+        if not str(output_path).endswith(".y4m"):
+            # segmented containers (mp4/mkv/npz/...): the segment manifest
+            # is the source of truth for completed frames
+            from video_restore_tpu.video.segmented import SegmentedWriter
+
+            if cfg.resume:
+                done = SegmentedWriter.resume_skip(
+                    output_path, out_w, out_h, fps
+                )
+                if done:
+                    log.info("resuming at frame %d", done)
+                return done, manifest
+            if manifest.exists():
+                manifest.unlink()
+            return 0, manifest
         if cfg.resume and os.path.exists(output_path):
             # Appending frames of the wrong geometry would silently corrupt
             # the file (and mis-count the skip), so the existing header must

@@ -3,10 +3,14 @@
 Re-implements the reference's ``create_test_videos.py`` (SURVEY.md C17,
 /root/reference/create_test_videos.py) as a library + CLI. The reference
 shells out to FFmpeg filter graphs; here each degradation is a numpy/cv2
-frame transform, so the generator works without an ffmpeg binary and the
-presets double as the test suite's fixture factory (SURVEY.md §4). When
-ffmpeg IS available the same presets can be rendered through it for
-compressed-artifact realism.
+frame transform (codec artifacts approximated by JPEG round-trips), so the
+generator works without an ffmpeg binary and the presets double as the
+test suite's fixture factory (SURVEY.md §4). Passing ``use_ffmpeg=True``
+(CLI: ``--ffmpeg``) additionally renders the compression presets through
+real codec round-trips — H.264 at the reference's 150k/50k/30k bitrates
+and short-GOP MPEG-2 (create_test_videos.py:49-64,104-117,192-216) — for
+true bitstream artifacts; this requires an ffmpeg binary and raises
+otherwise.
 
 The 13 preset names match the reference's taxonomy
 (create_test_videos.py:230-251): clean_144p/240p/360p/480p,
@@ -147,6 +151,9 @@ class Preset:
     fn: Callable
     frame_step: int = 1  # >1 simulates fps reduction
     fps_div: float = 1.0
+    # real-codec rendering spec (vcodec/bitrate/gop) used when the caller
+    # opts into ffmpeg-rendered artifacts; None = numpy/cv2 only
+    codec: Optional[dict] = None
 
 
 PRESETS: Dict[str, Preset] = {
@@ -154,26 +161,91 @@ PRESETS: Dict[str, Preset] = {
     "clean_240p": Preset("clean_240p", _clean(240)),
     "clean_360p": Preset("clean_360p", _clean(360)),
     "clean_480p": Preset("clean_480p", _clean(480)),
-    "heavy_compression": Preset("heavy_compression", _compressed(360, 18)),
-    "extreme_compression": Preset("extreme_compression", _compressed(240, 8)),
+    "heavy_compression": Preset(
+        "heavy_compression", _compressed(360, 18),
+        codec={"vcodec": "libx264", "bitrate": "150k"},  # ref :49-56
+    ),
+    "extreme_compression": Preset(
+        "extreme_compression", _compressed(240, 8),
+        codec={"vcodec": "libx264", "bitrate": "50k"},  # ref :58-64
+    ),
     "interlaced": Preset("interlaced", _interlaced),
     "vhs_style": Preset("vhs_style", _vhs_style),
-    "blocky_mpeg": Preset("blocky_mpeg", _blocky_mpeg),
+    "blocky_mpeg": Preset(
+        "blocky_mpeg", _blocky_mpeg,
+        codec={"vcodec": "mpeg2video", "bitrate": "300k", "gop": 3},  # :104-117
+    ),
     "blurry_noisy": Preset("blurry_noisy", _blurry_noisy),
     "old_webcam": Preset("old_webcam", _old_webcam, frame_step=2, fps_div=2.0),
     "damaged_film": Preset("damaged_film", _damaged_film),
     "extreme_low_quality": Preset(
-        "extreme_low_quality", _extreme_low_quality, frame_step=3, fps_div=3.0
+        "extreme_low_quality", _extreme_low_quality, frame_step=3, fps_div=3.0,
+        codec={"vcodec": "libx264", "bitrate": "30k"},  # ref :192-216
     ),
 }
+
+
+def codec_roundtrip(
+    frames: List[np.ndarray],
+    fps: float,
+    *,
+    vcodec: str = "libx264",
+    bitrate: str = "150k",
+    gop: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Real bitstream artifacts: encode the frames at the given bitrate and
+    decode them back, both through the ffmpeg binary (matching the
+    reference's degradation recipes, create_test_videos.py:49-117).
+    Frame dimensions must be even (yuv420p)."""
+    import subprocess
+    import tempfile
+
+    from video_restore_tpu.video.ffmpeg_backend import (
+        FFmpegReader,
+        ffmpeg_path,
+    )
+
+    exe = ffmpeg_path()
+    if exe is None:
+        raise RuntimeError(
+            "ffmpeg binary required for codec-rendered presets "
+            "(use_ffmpeg=True); install ffmpeg or drop the flag"
+        )
+    h, w = frames[0].shape[:2]
+    suffix = ".mpg" if "mpeg2" in vcodec else ".mp4"
+    with tempfile.TemporaryDirectory() as td:
+        dest = Path(td) / f"clip{suffix}"
+        cmd = [
+            exe, "-y", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{w}x{h}", "-r", f"{fps:g}", "-i", "-",
+            "-vcodec", vcodec, "-b:v", bitrate, "-pix_fmt", "yuv420p",
+        ]
+        if gop:
+            cmd += ["-g", str(gop)]
+        cmd.append(str(dest))
+        raw = b"".join(np.ascontiguousarray(f).tobytes() for f in frames)
+        proc = subprocess.run(cmd, input=raw, capture_output=True)
+        if proc.returncode:
+            raise RuntimeError(
+                f"ffmpeg encode failed: {proc.stderr.decode()[:300]}"
+            )
+        with FFmpegReader(dest) as r:
+            return list(r)
 
 
 def degrade_frames(
     frames: Iterable[np.ndarray],
     preset: str,
     seed: int = 0,
+    *,
+    use_ffmpeg: bool = False,
+    fps: float = 30.0,
 ) -> List[np.ndarray]:
-    """Apply a degradation preset to an RGB uint8 frame sequence."""
+    """Apply a degradation preset to an RGB uint8 frame sequence.
+
+    use_ffmpeg=True renders the compression presets' codec stage through a
+    real encode/decode round-trip (requires the ffmpeg binary)."""
     p = PRESETS[preset]
     st = DegradeState(np.random.default_rng(seed))
     out = []
@@ -182,6 +254,8 @@ def degrade_frames(
             continue
         st.index = i
         out.append(p.fn(f, st))
+    if use_ffmpeg and p.codec and out:
+        out = codec_roundtrip(out, fps / p.fps_div, **p.codec)
     return out
 
 
@@ -218,6 +292,7 @@ def create_test_videos(
     presets: Optional[List[str]] = None,
     clip_frames: int = 60,
     seed: int = 0,
+    use_ffmpeg: bool = False,
 ) -> List[Path]:
     """Render degraded clips (reference main(), create_test_videos.py:253).
 
@@ -244,7 +319,9 @@ def create_test_videos(
     written = []
     for name in presets or list(PRESETS):
         p = PRESETS[name]
-        frames = degrade_frames(src, name, seed)
+        frames = degrade_frames(
+            src, name, seed, use_ffmpeg=use_ffmpeg, fps=fps
+        )
         if not frames:
             continue
         h, w = frames[0].shape[:2]
@@ -268,9 +345,13 @@ def main(argv=None) -> int:
     ap.add_argument("--presets", nargs="*", default=None,
                     choices=list(PRESETS), metavar="PRESET")
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--ffmpeg", action="store_true",
+                    help="render compression presets through real codec "
+                    "round-trips (requires the ffmpeg binary)")
     args = ap.parse_args(argv)
     paths = create_test_videos(
-        args.source, args.out_dir, args.presets, args.frames
+        args.source, args.out_dir, args.presets, args.frames,
+        use_ffmpeg=args.ffmpeg,
     )
     for p in paths:
         print(f"  {p}  ({p.stat().st_size / 1e6:.2f} MB)")
