@@ -57,3 +57,35 @@ def test_regrouped_matches_naive_bf16(rng):
     b = np.asarray(apply_rrdbnet(params, x, spec, naive=False)).astype(np.float32)
     # bf16 rounding differs slightly between the two summation orders
     assert np.abs(a - b).max() < 0.05
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=4),
+        RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=2),
+        RRDBNetSpec(num_feat=12, num_block=2, num_grow_ch=6, scale=4),
+    ],
+)
+def test_accum_matches_naive(rng, spec):
+    """The accumulator-form body (zero-padded full-width source convs,
+    round-2 production default on TPU) must be numerically equivalent."""
+    from video_restore_tpu.models.rrdbnet import _apply
+
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 10, 14, 3)).astype(np.float32))
+    a = np.asarray(_apply(params, x, spec.scale, naive=True))
+    b = np.asarray(_apply(params, x, spec.scale, accum=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_accum_prepared_matches(rng):
+    from video_restore_tpu.models.rrdbnet import _apply, prepare_rrdbnet
+
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=4)
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 10, 14, 3)).astype(np.float32))
+    a = np.asarray(_apply(params, x, spec.scale, naive=True))
+    pp = prepare_rrdbnet(params, "accum", spec.num_feat, spec.num_grow_ch)
+    b = np.asarray(_apply(pp, x, spec.scale, accum=True, prepared=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -209,6 +209,61 @@ def _rrdb_apply_regrouped(tp: Params, x: jax.Array) -> jax.Array:
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
+def _accum_rdb_weights(p: Params, nf: int, gc: int):
+    """Accumulator-form weights: like _regroup_rdb_weights but every
+    source conv (except the last) emits the FULL 4*gc+nf width, with
+    zero blocks for destinations the source does not feed.
+
+    Device profile (round 2): with 32-channel growth tensors, the dense
+    sums run at 25% VPU lane occupancy and every 32-channel slice at a
+    non-128 offset is a lane-shuffle copy — the assembly elementwise +
+    copies cost as much as the convs themselves. Padding the conv outputs
+    to full width turns the assembly into ONE running full-width
+    accumulator add per source (lane-aligned, fused into the conv
+    epilogue by XLA) and one aligned 32-channel slice per c_k. The zero
+    blocks add ~27% structural MACs, but on convs whose narrow N was
+    wasting 50-75% of MXU columns — measured net win on v5e.
+    """
+    grouped, biases = _regroup_rdb_weights(p, nf, gc)
+    width = nf + 4 * gc
+    padded = [grouped[0]]  # the x-source conv is already full-width
+    for s in range(1, 4):  # c1, c2, c3 sources -> zero-pad leading slots
+        w = grouped[s]
+        lead = width - w.shape[-1]
+        padded.append(
+            jnp.concatenate(
+                [jnp.zeros(w.shape[:-1] + (lead,), w.dtype), w], axis=-1
+            )
+        )
+    padded.append(grouped[4])  # c4 -> c5 only (nf wide, added at the end)
+    return padded, biases
+
+
+def _rdb_apply_accum(tp: Params, x: jax.Array) -> jax.Array:
+    """Accumulator-form RDB (see _accum_rdb_weights). Identical math to
+    _rdb_apply_regrouped up to fp summation order."""
+    w0, w1, w2, w3, w4 = tp["w"]
+    b1, b2, b3, b4, b5 = (b.astype(x.dtype) for b in tp["b"])
+    g = w4.shape[-2]  # num_grow_ch (input channels of the c4-source conv)
+    a = conv2d(x, w0)  # (..., 4*gc + nf) running accumulator
+    c1 = leaky_relu(a[..., :g] + b1)
+    a = a + conv2d(c1, w1)
+    c2 = leaky_relu(a[..., g : 2 * g] + b2)
+    a = a + conv2d(c2, w2)
+    c3 = leaky_relu(a[..., 2 * g : 3 * g] + b3)
+    a = a + conv2d(c3, w3)
+    c4 = leaky_relu(a[..., 3 * g : 4 * g] + b4)
+    c5 = a[..., 4 * g :] + conv2d(c4, w4) + b5
+    return c5 * jnp.asarray(0.2, x.dtype) + x
+
+
+def _rrdb_apply_accum(tp: Params, x: jax.Array) -> jax.Array:
+    out = _rdb_apply_accum(tp["rdb1"], x)
+    out = _rdb_apply_accum(tp["rdb2"], out)
+    out = _rdb_apply_accum(tp["rdb3"], out)
+    return out * jnp.asarray(0.2, x.dtype) + x
+
+
 def _rdb_apply_sd(tp: Params, xc) -> "tuple":
     """Source-major RDB in the space-to-depth domain (ops/sdconv.py):
     identical math on a 2x-coarser grid — each of the 4 phase tensors
@@ -286,7 +341,9 @@ def default_use_pallas() -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("scale", "naive", "use_pallas", "sd", "prepared"),
+    static_argnames=(
+        "scale", "naive", "use_pallas", "sd", "accum", "prepared",
+    ),
 )
 def _apply(
     params: Params,
@@ -295,6 +352,7 @@ def _apply(
     naive: bool = False,
     use_pallas: bool = False,
     sd: bool = False,
+    accum: bool = False,
     prepared: bool = False,
 ) -> jax.Array:
     if scale == 2:
@@ -365,14 +423,18 @@ def _apply(
             if prepared:
                 body = params["body"]
             else:
+                regroup = _accum_rdb_weights if accum else _regroup_rdb_weights
                 body = {}
                 for r in ("rdb1", "rdb2", "rdb3"):
-                    ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+                    ws, bs = regroup(params["body"][r], nf, gc)
                     body[r] = {"w": tuple(ws), "b": tuple(bs)}
 
-            rrdb_fn = (
-                _rrdb_apply_pallas if use_pallas else _rrdb_apply_regrouped
-            )
+            if use_pallas:
+                rrdb_fn = _rrdb_apply_pallas
+            elif accum:
+                rrdb_fn = _rrdb_apply_accum
+            else:
+                rrdb_fn = _rrdb_apply_regrouped
 
             def block_step(h, bp):
                 return rrdb_fn(bp, h), None
@@ -407,6 +469,20 @@ def _apply(
     return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
 
 
+def default_use_accum() -> bool:
+    """Accumulator-form body (see _accum_rdb_weights) — the production
+    default on TPU; opt out with VRT_ACCUM=0 (falls back to the
+    source-major regrouped path)."""
+    import os
+
+    if os.environ.get("VRT_ACCUM") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def resolve_mode(
     naive: bool = False,
     use_pallas: "bool | None" = None,
@@ -418,6 +494,8 @@ def resolve_mode(
         return "pallas"
     if sd if sd is not None else default_use_sd():
         return "sd"
+    if default_use_accum():
+        return "accum"
     return "regrouped"
 
 
@@ -436,8 +514,9 @@ def prepare_rrdbnet(
     nf, gc = num_feat, num_grow_ch
     out = {k: v for k, v in params.items() if k != "body"}
     body = {}
+    regroup = _accum_rdb_weights if mode == "accum" else _regroup_rdb_weights
     for r in ("rdb1", "rdb2", "rdb3"):
-        ws, bs = _regroup_rdb_weights(params["body"][r], nf, gc)
+        ws, bs = regroup(params["body"][r], nf, gc)
         if mode == "sd":
             from video_restore_tpu.ops.sdconv import make_sd_kernels
 
@@ -493,4 +572,5 @@ def apply_rrdbnet(
         use_pallas = not naive and default_use_pallas()
     if sd is None:
         sd = not naive and not use_pallas and default_use_sd()
-    return _apply(params, x, spec.scale, naive, use_pallas, sd)
+    accum = not naive and not use_pallas and not sd and default_use_accum()
+    return _apply(params, x, spec.scale, naive, use_pallas, sd, accum)

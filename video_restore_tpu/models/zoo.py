@@ -118,6 +118,7 @@ class ModelHandle:
                 naive=mode == "naive",
                 use_pallas=mode == "pallas",
                 sd=mode == "sd",
+                accum=mode == "accum",
                 prepared=mode != "naive",
             )
 

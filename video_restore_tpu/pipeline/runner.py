@@ -29,7 +29,6 @@ import os
 import queue
 import threading
 import time
-from collections import deque
 from pathlib import Path
 from typing import List, Optional, Tuple, Union
 
@@ -101,6 +100,51 @@ class _DecodeThread(threading.Thread):
                 self.q.get_nowait()
         except queue.Empty:
             pass
+
+
+class _EncodeThread(threading.Thread):
+    """Consumer: materializes device results (D2H) and writes frames, off
+    the dispatch thread so fetch/encode overlap TPU compute. Items arrive
+    in dispatch order through a bounded FIFO (backpressure = at most
+    ``depth`` undrained batches hold device output buffers alive)."""
+
+    def __init__(self, drain_fn, depth: int):
+        super().__init__(daemon=True, name="encode")
+        self.q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self.drain_fn = drain_fn
+        self.error: Optional[BaseException] = None
+        self._abandoned = threading.Event()
+
+    def run(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is _SENTINEL:
+                break
+            if self.error is not None or self._abandoned.is_set():
+                continue  # drain the queue without processing
+            try:
+                self.drain_fn(item)
+            except BaseException as e:
+                self.error = e
+
+    def submit(self, item) -> None:
+        self.q.put(item)
+
+    def finish(self) -> None:
+        """Process everything queued, then stop."""
+        self.q.put(_SENTINEL)
+        self.join()
+
+    def abandon(self) -> None:
+        """Stop ASAP, discarding queued batches (error path)."""
+        self._abandoned.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.q.put(_SENTINEL)
+        self.join(timeout=30)
 
 
 class VideoRestorer:
@@ -239,7 +283,6 @@ class VideoRestorer:
         if skip:
             progress.update(skip)
 
-        inflight: deque = deque()  # (device_array, valid_count, face_futs)
         resize = self._resizer(out_w, out_h, scale, info)
         timer = StageTimer()
         face_cfg = cfg.face_enhance
@@ -271,8 +314,8 @@ class VideoRestorer:
 
             return enhance_face_regions(f, boxes, scale, cfg.face_strength)
 
-        def drain_one():
-            out, valid, face_futs = inflight.popleft()
+        def drain_one(item):
+            out, valid, face_futs = item
             with timer.stage("fetch"):
                 arr = np.asarray(out)  # D2H (async result)
             stats.inferred += valid  # device result materialized on host
@@ -291,10 +334,16 @@ class VideoRestorer:
             progress.update(valid)
             self._checkpoint(manifest_path, stats.encoded + skip)
 
+        # encode thread: D2H fetch + host post + write overlap TPU compute
+        # (the dispatch thread never blocks on the writer); bounded queue
+        # keeps at most max_inflight_batches output buffers alive.
+        enc = _EncodeThread(drain_one, depth=cfg.max_inflight_batches)
+        enc.start()
+
         pending: List[np.ndarray] = []
         eof = False
         try:
-            while not eof or pending or inflight:
+            while not eof or pending:
                 # fill a batch
                 with timer.stage("decode-wait"):
                     while not eof and len(pending) < batch:
@@ -316,14 +365,17 @@ class VideoRestorer:
                         x = np.stack(frames)
                         faces = detect_batch_faces(frames[:valid])
                         pending = []
-                        inflight.append((ups.process_batch(x), valid, faces))
-                while len(inflight) > (
-                    0 if (eof and not pending) else cfg.max_inflight_batches - 1
-                ):
-                    if not inflight:
-                        break
-                    drain_one()
+                        enc.submit((ups.process_batch(x), valid, faces))
+                if enc.error is not None:
+                    raise RuntimeError(
+                        f"encode failed: {enc.error}"
+                    ) from enc.error
+            enc.finish()
+            if enc.error is not None:
+                raise RuntimeError(f"encode failed: {enc.error}") from enc.error
         finally:
+            if enc.is_alive():
+                enc.abandon()
             decoder.stop()
             decoder.join(timeout=10)
             if face_pool is not None:
