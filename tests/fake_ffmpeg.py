@@ -44,6 +44,25 @@ def probe(path):
     print(json.dumps(out))
 
 
+def _i420_to_rgb(planar, w, h):
+    """Studio-range BT.601 planar I420 -> RGB (numpy, standalone — the
+    fake has no repo on sys.path)."""
+    y = planar[:h].astype(np.float32)
+    u = planar[h : h + h // 4].reshape(h // 2, w // 2).astype(np.float32)
+    v = planar[h + h // 4 :].reshape(h // 2, w // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, 0), 2, 1)
+    v = np.repeat(np.repeat(v, 2, 0), 2, 1)
+    yf = (y - 16.0) / 219.0
+    uf = (u - 128.0) / 224.0
+    vf = (v - 128.0) / 224.0
+    kr, kb = 0.299, 0.114
+    r = yf + vf * 2.0 * (1.0 - kr)
+    b = yf + uf * 2.0 * (1.0 - kb)
+    g = (yf - kr * r - kb * b) / (1.0 - kr - kb)
+    rgb = np.stack([r, g, b], -1)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
 def main(argv):
     prog = os.path.basename(argv[0])
     args = argv[1:]
@@ -61,15 +80,25 @@ def main(argv):
             sys.stdout.buffer.write(np.ascontiguousarray(f).tobytes())
         return 0
     if "-i" in args and args[args.index("-i") + 1] == "-":
-        # encode: raw rgb24 on stdin -> npz at last arg
+        # encode: rawvideo on stdin -> npz at last arg. The first -pix_fmt
+        # is the stdin format (rgb24 or planar yuv420p, like real ffmpeg).
         s = args[args.index("-s") + 1]
         w, h = (int(x) for x in s.split("x"))
         fps = float(args[args.index("-r") + 1])
+        pix = args[args.index("-pix_fmt") + 1]
         raw = sys.stdin.buffer.read()
-        n = len(raw) // (w * h * 3)
-        frames = np.frombuffer(raw[: n * w * h * 3], np.uint8).reshape(
-            n, h, w, 3
-        )
+        if pix == "yuv420p":
+            fb = w * h * 3 // 2
+            n = len(raw) // fb
+            planar = np.frombuffer(raw[: n * fb], np.uint8).reshape(
+                n, h * 3 // 2, w
+            )
+            frames = np.stack([_i420_to_rgb(p, w, h) for p in planar])
+        else:
+            n = len(raw) // (w * h * 3)
+            frames = np.frombuffer(raw[: n * w * h * 3], np.uint8).reshape(
+                n, h, w, 3
+            )
         with open(args[-1], "wb") as fh:  # exact path (savez appends .npz)
             np.savez(fh, frames=frames, fps=fps)
         return 0

@@ -73,6 +73,9 @@ class RestoreConfig:
     temporal: bool = True  # temporal consistency when enhanced (README.md:9)
     temporal_strength: float = 0.3
     scene_cut_thresh: float = 0.12  # mean luma delta that resets the EMA
+    # on-device RGB->I420 conversion when the sink takes planar yuv directly
+    # (halves D2H traffic; "auto" enables when compatible, "off" disables)
+    device_yuv: str = "auto"
     color_enhance: bool = True  # CLAHE when enhanced (README.md:11)
     clahe_clip: float = 2.0
     clahe_lr: bool = True  # apply CLAHE pre-upscale (16x cheaper, same look)

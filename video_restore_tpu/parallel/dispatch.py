@@ -59,6 +59,7 @@ class StepConfig:
     temporal: bool = False
     temporal_strength: float = 0.3
     scene_cut_thresh: float = 0.12  # mean |delta| (0-1 units) => hard reset
+    yuv420_out: bool = False  # emit planar I420 on-device (halves D2H)
 
     @staticmethod
     def from_config(cfg: RestoreConfig) -> "StepConfig":
@@ -166,6 +167,10 @@ def restore_step(
     else:
         new_carry = carry
 
+    if step_cfg.yuv420_out:
+        from video_restore_tpu.ops.color import rgb_to_yuv420_planar
+
+        return rgb_to_yuv420_planar(jnp.clip(y, 0.0, 1.0)), new_carry
     out_u8 = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
     return out_u8, new_carry
 
@@ -179,12 +184,16 @@ class ShardedUpscaler:
         grid: TileGrid,
         cfg: RestoreConfig,
         mesh: Optional[Mesh] = None,
+        yuv420_out: bool = False,
     ):
         self.mesh = mesh if mesh is not None else frame_mesh(cfg.num_devices)
         self.n_devices = self.mesh.devices.size
         self.grid = grid
         self.scale = grid.scale
-        self.step_cfg = StepConfig.from_config(cfg)
+        self.step_cfg = dataclasses.replace(
+            StepConfig.from_config(cfg), yuv420_out=yuv420_out
+        )
+        self.yuv420_out = yuv420_out
         self.shard_mode = getattr(cfg, "shard_mode", "frames")
         self.compute_dtype = (
             jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32

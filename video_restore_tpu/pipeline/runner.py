@@ -183,8 +183,10 @@ class VideoRestorer:
         )
 
     # ------------------------------------------------------------------
-    def _upscaler_for(self, height: int, width: int) -> ShardedUpscaler:
-        key = (height, width)
+    def _upscaler_for(
+        self, height: int, width: int, yuv_out: bool = False
+    ) -> ShardedUpscaler:
+        key = (height, width, yuv_out)
         if key not in self._upscalers:
             cfg = self.config
             grid = TileGrid.build(
@@ -207,9 +209,28 @@ class VideoRestorer:
                 grid.n_tiles, grid.tile_shape,
             )
             self._upscalers[key] = ShardedUpscaler(
-                self.model, grid, cfg, self.mesh
+                self.model, grid, cfg, self.mesh, yuv420_out=yuv_out
             )
         return self._upscalers[key]
+
+    def _yuv_eligible(self, output_path, info, out_w: int, out_h: int) -> bool:
+        """Emit planar I420 on-device when the sink takes it directly:
+        halves D2H traffic and removes host colorspace conversion. Falls
+        back to RGB when a host resize, face pass, or an RGB-only writer
+        is involved."""
+        cfg = self.config
+        if getattr(cfg, "device_yuv", "auto") == "off":
+            return False
+        if cfg.face_enhance:
+            return False
+        scale = self.model.scale
+        if out_w != info.width * scale or out_h != info.height * scale:
+            return False  # host Lanczos resize needs RGB
+        if out_h % 4 or out_w % 2:
+            return False
+        from video_restore_tpu.video.backends import writer_supports_yuv420
+
+        return writer_supports_yuv420(output_path)
 
     # ------------------------------------------------------------------
     def process_video(
@@ -263,7 +284,8 @@ class VideoRestorer:
             info.width, info.height, out_w, out_h, info.frames, info.fps,
         )
 
-        ups = self._upscaler_for(info.height, info.width)
+        use_yuv = self._yuv_eligible(output_path, info, out_w, out_h)
+        ups = self._upscaler_for(info.height, info.width, yuv_out=use_yuv)
         ups.reset_temporal()
         batch = ups.frames_per_batch * max(cfg.frames_per_batch, 1)
 
@@ -278,7 +300,10 @@ class VideoRestorer:
         decoder = _DecodeThread(reader, q, skip=skip)
         decoder.start()
 
-        writer = self._open_writer(output_path, out_w, out_h, info.fps)
+        writer = self._open_writer(
+            output_path, out_w, out_h, info.fps,
+            pix_fmt="yuv420p" if use_yuv else "rgb24",
+        )
         progress = Progress(info.frames, enabled=show_progress)
         if skip:
             progress.update(skip)
@@ -328,8 +353,12 @@ class VideoRestorer:
                     frames_out = face_pool.map(
                         _enhance_one, zip(frames_out, boxes)
                     )
-                for f in frames_out:
-                    writer.write(resize(f))
+                if use_yuv:
+                    for f in frames_out:
+                        writer.write_yuv420(f)
+                else:
+                    for f in frames_out:
+                        writer.write(resize(f))
             stats.encoded += valid
             progress.update(valid)
             self._checkpoint(manifest_path, stats.encoded + skip)
@@ -410,7 +439,7 @@ class VideoRestorer:
         )
 
     # ------------------------------------------------------------------
-    def _open_writer(self, output_path, w, h, fps):
+    def _open_writer(self, output_path, w, h, fps, pix_fmt="rgb24"):
         cfg = self.config
         if cfg.segment_frames > 0:
             if str(output_path).endswith(".y4m"):
@@ -424,11 +453,12 @@ class VideoRestorer:
                 output_path, w, h, fps,
                 codec=cfg.video_codec, crf=cfg.crf, preset=cfg.preset,
                 segment_frames=cfg.segment_frames, resume=cfg.resume,
+                pix_fmt=pix_fmt,
             )
         codec = cfg.video_codec
         return open_writer(
             output_path, w, h, fps,
-            codec=codec, crf=cfg.crf, preset=cfg.preset,
+            codec=codec, crf=cfg.crf, preset=cfg.preset, pix_fmt=pix_fmt,
         )
 
     def _resume_state(

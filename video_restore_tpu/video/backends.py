@@ -64,6 +64,12 @@ def open_reader(path: Union[str, Path], backend: str = "auto") -> VideoReader:
     return OpenCVReader(path)
 
 
+def writer_supports_yuv420(path: Union[str, Path], backend: str = "auto") -> bool:
+    """True when the writer for ``path`` can take device-converted planar
+    I420 frames directly (y4m and the ffmpeg pipe; npz/opencv need RGB)."""
+    return _pick_backend(path, backend) in ("y4m", "ffmpeg")
+
+
 def open_writer(
     path: Union[str, Path],
     width: int,
@@ -74,6 +80,7 @@ def open_writer(
     crf: int = 15,
     preset: str = "slow",
     backend: str = "auto",
+    pix_fmt: str = "rgb24",
 ) -> VideoWriter:
     b = _pick_backend(path, backend)
     if b == "y4m":
@@ -88,7 +95,8 @@ def open_writer(
         from video_restore_tpu.video.ffmpeg_backend import FFmpegWriter
 
         return FFmpegWriter(
-            path, width, height, fps, codec=codec, crf=crf, preset=preset
+            path, width, height, fps, codec=codec, crf=crf, preset=preset,
+            pix_fmt=pix_fmt,
         )
     from video_restore_tpu.video.opencv_backend import OpenCVWriter
 

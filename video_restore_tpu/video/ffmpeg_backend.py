@@ -178,11 +178,13 @@ class FFmpegWriter(VideoWriter):
         codec: str = "h264",
         crf: int = 15,
         preset: str = "slow",
+        pix_fmt: str = "rgb24",
     ):
         self.path = str(path)
+        self._pix_fmt = pix_fmt  # rawvideo input format on stdin
         cmd = [
             ffmpeg_path(), "-y", "-loglevel", "error",
-            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-f", "rawvideo", "-pix_fmt", pix_fmt,
             "-s", f"{width}x{height}", "-r", f"{fps}",
             "-i", "-", "-an",
             *_CODEC_ARGS.get(codec, _CODEC_ARGS["h264"]),
@@ -199,7 +201,19 @@ class FFmpegWriter(VideoWriter):
         self._count = 0
 
     def write(self, frame: np.ndarray) -> None:
+        if self._pix_fmt != "rgb24":
+            raise ValueError(
+                f"writer expects {self._pix_fmt} input; use write_yuv420"
+            )
         self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+        self._count += 1
+
+    def write_yuv420(self, planar: np.ndarray) -> None:
+        """Planar I420 frame ((H*3//2, W) uint8, device-converted) straight
+        onto the encoder pipe — requires pix_fmt='yuv420p' at construction."""
+        if self._pix_fmt != "yuv420p":
+            raise ValueError("writer was not opened with pix_fmt='yuv420p'")
+        self._proc.stdin.write(np.ascontiguousarray(planar).tobytes())
         self._count += 1
 
     @property

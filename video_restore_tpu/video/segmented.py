@@ -54,10 +54,12 @@ class SegmentedWriter(VideoWriter):
         preset: str = "slow",
         segment_frames: int = 250,
         resume: bool = False,
+        pix_fmt: str = "rgb24",
     ):
         self.output_path = Path(output_path)
         self.width, self.height, self.fps = width, height, fps
         self.codec, self.crf, self.preset = codec, crf, preset
+        self.pix_fmt = pix_fmt
         self.segment_frames = segment_frames
         self._dir = _parts_dir(output_path)
         self._manifest = _manifest_path(output_path)
@@ -119,6 +121,7 @@ class SegmentedWriter(VideoWriter):
         self._writer = open_writer(
             self._dir / name, self.width, self.height, self.fps,
             codec=self.codec, crf=self.crf, preset=self.preset,
+            pix_fmt=self.pix_fmt,
         )
         self._cur_frames = 0
 
@@ -126,6 +129,14 @@ class SegmentedWriter(VideoWriter):
         if self._writer is None:
             self._open_segment()
         self._writer.write(frame)
+        self._cur_frames += 1
+        if self._cur_frames >= self.segment_frames:
+            self._roll()
+
+    def write_yuv420(self, planar) -> None:
+        if self._writer is None:
+            self._open_segment()
+        self._writer.write_yuv420(planar)
         self._cur_frames += 1
         if self._cur_frames >= self.segment_frames:
             self._roll()

@@ -198,6 +198,16 @@ class Y4MWriter(VideoWriter):
         self._f.write(v.tobytes())
         self._count += 1
 
+    def write_yuv420(self, planar: np.ndarray) -> None:
+        """Write a pre-converted planar I420 frame ((H*3//2, W) uint8, as
+        produced on-device by ops/color.py:rgb_to_yuv420_planar) — no host
+        colorspace work."""
+        if self._sub != "420":
+            raise ValueError("write_yuv420 requires a 4:2:0 colorspace")
+        self._f.write(b"FRAME\n")
+        self._f.write(np.ascontiguousarray(planar).tobytes())
+        self._count += 1
+
     @property
     def frames_written(self) -> int:
         return self._count
