@@ -47,6 +47,11 @@ def run_config(idx, name, model_name, h, w, tile, overlap, cfg_kwargs, iters):
     t0 = time.time()
     for _ in range(iters):
         out = ups.process_batch(frames)
+    # Sync: temporal configs serialize on the donated carry chain; for
+    # non-temporal configs the iterations are independent programs, but a
+    # single TPU core executes enqueued programs in issue order, so this
+    # 1-pixel fetch of the LAST output still waits for the whole loop.
+    # (block_until_ready is unreliable through the tunnel transport.)
     _ = np.asarray(out[..., :1, :1])
     dt = (time.time() - t0) / iters
     fps = n / dt

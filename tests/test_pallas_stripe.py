@@ -1,0 +1,77 @@
+"""Stripe-form fused RDB kernel (ops/pallas_stripe.py) vs the naive
+torch-ordered reference — interpret mode on CPU (SURVEY.md §4 kernel
+strategy). Unlike the round-1 block kernel (tolerance 5e-2 from its
+valid-chain edge approximation), the stripe kernel reproduces basicsr's
+per-conv SAME zero-padding exactly, so fp32 parity is ~1e-7 including the
+frame edges."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_restore_tpu.models.rrdbnet import (
+    RRDBNetSpec,
+    _rdb_apply,
+    init_rrdbnet,
+)
+from video_restore_tpu.ops.pallas_stripe import (
+    prefix_rdb_weights,
+    rdb_stripe,
+)
+
+
+def _one_rdb(nf=16, gc=8, seed=0):
+    spec = RRDBNetSpec(num_feat=nf, num_block=1, num_grow_ch=gc)
+    params = init_rrdbnet(jax.random.PRNGKey(seed), spec)
+    rdb = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+    ws, bs = prefix_rdb_weights(rdb, nf, gc)
+    return rdb, tuple(ws), tuple(bs)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (1, 32, 32),
+        (2, 64, 48),
+        (1, 40, 56),
+        (1, 33, 31),  # odd extents: H padded to the stripe, W masked
+    ],
+)
+def test_rdb_stripe_exact_same_padding(rng, shape):
+    b, h, w = shape
+    rdb, ws, bs = _one_rdb()
+    x = jnp.asarray(rng.random((b, h, w, 16)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb, x))
+    out = np.asarray(rdb_stripe(x, ws, bs, interpret=True))
+    assert out.shape == ref.shape
+    # exact SAME semantics: only fp summation order differs
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_rdb_stripe_multi_stripe_grid(rng):
+    """H spanning several stripes + batch > 1 exercises the cross-iteration
+    double-buffer slots."""
+    rdb, ws, bs = _one_rdb()
+    x = jnp.asarray(rng.random((3, 96, 40, 16)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb, x))
+    out = np.asarray(rdb_stripe(x, ws, bs, block_h=32, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_rdb_stripe_bf16(rng):
+    rdb, ws, bs = _one_rdb()
+    x = jnp.asarray(rng.random((1, 32, 32, 16)), jnp.bfloat16)
+    ref = np.asarray(_rdb_apply(rdb, x)).astype(np.float32)
+    out = np.asarray(rdb_stripe(x, ws, bs, interpret=True)).astype(np.float32)
+    assert np.abs(out - ref).max() < 0.05
+
+
+def test_prefix_weights_shapes():
+    nf, gc = 16, 8
+    _, ws, bs = _one_rdb(nf, gc)
+    couts = [nf + 4 * gc, nf + 3 * gc, nf + 2 * gc, nf + gc, nf]
+    cins = [nf, gc, gc, gc, gc]
+    for w, cin, cout in zip(ws, cins, couts):
+        assert w.shape == (3, 3 * cin, cout)
+    assert bs[0].shape == (gc,) and bs[4].shape == (nf,)

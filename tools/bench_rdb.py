@@ -1,0 +1,111 @@
+"""Micro-benchmark: one RDB layer, XLA paths vs Pallas kernels, on the
+flagship body shape (tile chunk (B, 384, 504, 64) bf16).
+
+Chains iterations through a data dependency (output feeds input) and syncs
+via a tiny D2H slice — the tunnel-safe timing idiom from bench.py.
+
+Usage: python tools/bench_rdb.py [accum|regroup|stripe:BH|old64] ...
+"""
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+cache = os.environ.get(
+    "VRT_XLA_CACHE", os.path.expanduser("~/.cache/video_restore_tpu/xla")
+)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+from jax import lax
+
+from video_restore_tpu.models.rrdbnet import (
+    RRDBNetSpec,
+    _accum_rdb_weights,
+    _rdb_apply_accum,
+    _rdb_apply_regrouped,
+    _regroup_rdb_weights,
+    init_rrdbnet,
+)
+from video_restore_tpu.ops.pallas_stripe import prefix_rdb_weights, rdb_stripe
+
+B, H, W, NF, GC = 4, 384, 504, 64, 32
+REPS = 23  # RDB applications per timed step (one 23-block model's rdb1s)
+
+
+def bench(name, step, x, iters=6):
+    y = step(x)
+    np.asarray(y[0, :1, :1, :1])  # compile + settle
+    t0 = time.time()
+    for _ in range(iters):
+        y = step(y)
+    np.asarray(y[0, :1, :1, :1])
+    dt = (time.time() - t0) / (iters * REPS)
+    # per-RDB FLOPs: 2 * H*W * sum(cin*cout) MACs
+    macs = 2 * H * W * (NF * (NF + 4 * GC) + GC * ((NF + 3 * GC) + (NF + 2 * GC) + (NF + GC) + NF))
+    tf = B * macs / dt / 1e12
+    print(f"{name:>14}: {dt*1e3:7.2f} ms/RDB-call  {tf:6.1f} TF/s")
+
+
+def main():
+    modes = sys.argv[1:] or ["accum", "stripe:64"]
+    spec = RRDBNetSpec(num_feat=NF, num_block=1, num_grow_ch=GC)
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    rdb = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((B, H, W, NF)), jnp.bfloat16)
+
+    for mode in modes:
+        if mode == "accum":
+            ws, bs = _accum_rdb_weights(rdb, NF, GC)
+            tp = {"w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws), "b": tuple(bs)}
+
+            @jax.jit
+            def step(x, tp=tp):
+                def body(h, _):
+                    return _rdb_apply_accum(tp, h), None
+                return lax.scan(body, x, None, length=REPS)[0]
+
+        elif mode == "regroup":
+            ws, bs = _regroup_rdb_weights(rdb, NF, GC)
+            tp = {"w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws), "b": tuple(bs)}
+
+            @jax.jit
+            def step(x, tp=tp):
+                def body(h, _):
+                    return _rdb_apply_regrouped(tp, h), None
+                return lax.scan(body, x, None, length=REPS)[0]
+
+        elif mode.startswith("stripe"):
+            bh = int(mode.split(":")[1]) if ":" in mode else 64
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = tuple(jnp.asarray(w, jnp.bfloat16) for w in ws)
+
+            @jax.jit
+            def step(x, ws=ws, bs=bs, bh=bh):
+                def body(h, _):
+                    return rdb_stripe(h, ws, bs, block_h=bh), None
+                return lax.scan(body, x, None, length=REPS)[0]
+
+        elif mode == "old64":
+            from video_restore_tpu.ops.pallas_rdb import rdb_fused
+            ws, bs = _regroup_rdb_weights(rdb, NF, GC)
+            ws = tuple(jnp.asarray(w, jnp.bfloat16) for w in ws)
+
+            @jax.jit
+            def step(x, ws=ws, bs=bs):
+                def body(h, _):
+                    return rdb_fused(h, ws, bs), None
+                return lax.scan(body, x, None, length=REPS)[0]
+        else:
+            raise SystemExit(f"unknown mode {mode}")
+
+        bench(mode, step, x)
+
+
+if __name__ == "__main__":
+    main()

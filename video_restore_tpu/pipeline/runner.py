@@ -60,6 +60,9 @@ class PipelineStats:
     inferred: int = 0
     encoded: int = 0
     wall_s: float = 0.0
+    # per-stage wall-clock totals (decode-wait/dispatch/fetch/encode),
+    # filled from the runner's StageTimer — consumed by bench_e2e.py
+    stages: dict = dataclasses.field(default_factory=dict)
 
     @property
     def fps(self) -> float:
@@ -254,6 +257,7 @@ class VideoRestorer:
             log.exception("pipeline failed for %s", input_path)
             return False
         stats.wall_s = time.time() - t0
+        self.last_stats = stats  # stage breakdown for callers (bench_e2e)
         n = self.mesh.devices.size
         log.info(
             "done: %d frames in %.1fs (%.2f fps, %.2f fps/chip)",
@@ -413,6 +417,7 @@ class VideoRestorer:
             progress.close()
             reader.close()
         timer.log_summary()
+        stats.stages = dict(timer.totals)
         if hasattr(writer, "finalize"):
             writer.finalize()  # successful run: concat segments + clean up
 
