@@ -37,6 +37,10 @@ Examples:
   video-restore input.mp4 output.mp4 --model RealESRGAN_x2plus
   video-restore in_dir/ out_dir/ --batch --quality fast
   video-restore clip.y4m out.y4m --segment-frames 64 --resume
+
+Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
+  ffmpeg -i in.mkv -f yuv4mpegpipe - | video-restore - - | \\
+      ffmpeg -i - -c:v libx265 -crf 18 out.mkv
 """,
     )
     # positional (video_upscaler.py:649-650)
@@ -183,7 +187,9 @@ def main(argv=None) -> int:
         log.error("%s", e)
         return 1
 
-    if not Path(args.input).exists():
+    from video_restore_tpu.video.y4m import is_pipe
+
+    if not is_pipe(args.input) and not Path(args.input).exists():
         log.error("input not found: %s", args.input)
         return 1
 

@@ -38,7 +38,13 @@ class Progress:
                 self._last_print = now
                 fps = self.count / max(now - self._t0, 1e-9)
                 total = f"/{self.total}" if self.total else ""
-                print(f"  {self.count}{total} frames  {fps:.2f} fps", flush=True)
+                # stderr: stdout may carry the y4m stream in pipe mode
+                import sys
+
+                print(
+                    f"  {self.count}{total} frames  {fps:.2f} fps",
+                    flush=True, file=sys.stderr,
+                )
 
     @property
     def fps(self) -> float:

@@ -279,7 +279,17 @@ class VideoRestorer:
         show_progress: bool,
     ) -> PipelineStats:
         cfg = self.config
-        info = probe(input_path)
+        from video_restore_tpu.video.y4m import is_pipe
+
+        pipe_in = is_pipe(input_path)
+        pipe_out = is_pipe(output_path)
+        if pipe_in:
+            # streaming: stdin is read-once, so the reader (which parses
+            # the y4m header) doubles as the probe
+            reader = open_reader(input_path)
+            info = reader.info
+        else:
+            info = probe(input_path)
         scale = self.model.scale
         out_w = int(info.width * cfg.outscale)
         out_h = int(info.height * cfg.outscale)
@@ -294,12 +304,17 @@ class VideoRestorer:
         batch = ups.frames_per_batch * max(cfg.frames_per_batch, 1)
 
         # resume bookkeeping: the y4m output itself is the progress record
-        skip, manifest_path = self._resume_state(
-            output_path, out_w, out_h, info.fps
-        )
+        # (a stream has no past to resume into)
+        if pipe_out or pipe_in:
+            skip, manifest_path = 0, None
+        else:
+            skip, manifest_path = self._resume_state(
+                output_path, out_w, out_h, info.fps
+            )
         stats = PipelineStats(encoded=0)
 
-        reader = open_reader(input_path)
+        if not pipe_in:
+            reader = open_reader(input_path)
         q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_frames, batch))
         decoder = _DecodeThread(reader, q, skip=skip)
         decoder.start()
@@ -427,7 +442,7 @@ class VideoRestorer:
 
         if manifest_path is not None and manifest_path.exists():
             manifest_path.unlink()  # complete: clear the progress marker
-        if cfg.audio_copy:
+        if cfg.audio_copy and not (pipe_in or pipe_out):
             copy_audio(input_path, output_path)
         return stats
 

@@ -17,6 +17,10 @@ def ffmpeg_available() -> bool:
 def _pick_backend(path: Union[str, Path], backend: str = "auto") -> str:
     if backend != "auto":
         return backend
+    from video_restore_tpu.video.y4m import is_pipe
+
+    if is_pipe(path):
+        return "y4m"  # streaming mode: y4m over stdin/stdout
     suffix = Path(path).suffix.lower()
     if suffix == ".y4m":
         return "y4m"

@@ -18,6 +18,17 @@ from video_restore_tpu.video.io_base import VideoInfo, VideoReader, VideoWriter
 
 _MAGIC = b"YUV4MPEG2"
 
+
+def is_pipe(path) -> bool:
+    """True for the stdin/stdout streaming pseudo-paths (``-`` and
+    ``pipe:``, the ffmpeg conventions). Streaming mode lets the framework
+    sit inside an existing ffmpeg pipeline:
+
+        ffmpeg -i in.mkv -f yuv4mpegpipe - | video-restore - - | \\
+            ffmpeg -i - -c:v libx265 out.mkv
+    """
+    return str(path) in ("-", "pipe:", "pipe:0", "pipe:1")
+
 # BT.601 studio-range RGB<->YUV
 _KR, _KG, _KB = 0.299, 0.587, 0.114
 
@@ -122,7 +133,14 @@ def _plane_shapes(w: int, h: int, colorspace: str):
 class Y4MReader(VideoReader):
     def __init__(self, path: Union[str, Path]):
         self.path = str(path)
-        self._f = open(self.path, "rb")
+        if is_pipe(path):
+            import sys
+
+            self._f = sys.stdin.buffer
+            self._is_pipe = True
+        else:
+            self._f = open(self.path, "rb")
+            self._is_pipe = False
         header = self._f.readline()
         self.info = _parse_header(header)
         self._colorspace = self.info.pix_fmt[3:]
@@ -130,7 +148,10 @@ class Y4MReader(VideoReader):
             self.info.width, self.info.height, self._colorspace
         )
         # frame count from file size (frames are fixed-size — the analogue
-        # of the reference's probe fallbacks, video_upscaler.py:180-203)
+        # of the reference's probe fallbacks, video_upscaler.py:180-203);
+        # unknowable for a pipe (frames stays 0 -> open-ended progress)
+        if self._is_pipe:
+            return
         try:
             hdr = len(header)
             fsz = os.path.getsize(self.path)
@@ -160,7 +181,8 @@ class Y4MReader(VideoReader):
             yield yuv_planes_to_rgb(y, u, v)
 
     def close(self) -> None:
-        self._f.close()
+        if not self._is_pipe:  # leave stdin open for the process
+            self._f.close()
 
 
 class Y4MWriter(VideoWriter):
@@ -182,8 +204,15 @@ class Y4MWriter(VideoWriter):
             raise ValueError("4:2:0 y4m needs even dimensions")
         num, den = _fps_to_fraction(fps)
         self._count = 0
-        mode = "ab" if append and os.path.exists(self.path) else "wb"
-        self._f = open(self.path, mode)
+        self._is_pipe = is_pipe(path)
+        if self._is_pipe:
+            import sys
+
+            self._f = sys.stdout.buffer
+            mode = "wb"  # a stream cannot append
+        else:
+            mode = "ab" if append and os.path.exists(self.path) else "wb"
+            self._f = open(self.path, mode)
         if mode == "wb":
             self._f.write(
                 f"YUV4MPEG2 W{width} H{height} F{num}:{den} Ip A1:1 "
@@ -213,7 +242,10 @@ class Y4MWriter(VideoWriter):
         return self._count
 
     def close(self) -> None:
-        self._f.close()
+        if self._is_pipe:  # flush but leave stdout open for the process
+            self._f.flush()
+        else:
+            self._f.close()
 
 
 def _fps_to_fraction(fps: float) -> Tuple[int, int]:
