@@ -104,3 +104,59 @@ def test_pipeline_mp4_device_yuv(tmp_path, tiny_frames, fake_ffmpeg_bin):
     with open_reader(dst) as rd:
         out = np.stack(list(rd))
     assert out.shape == (8, 96, 128, 3)
+
+
+# ---------------------------------------------------------------------------
+# ordered-dithered quantization (--dither)
+
+
+def test_dither_offsets_properties():
+    from video_restore_tpu.ops.color import _bayer8, dither_offsets
+
+    b = np.asarray(_bayer8())
+    assert b.shape == (8, 8)
+    # a Bayer matrix sweeps all 64 thresholds uniformly in [0, 1)
+    assert len(np.unique(b)) == 64
+    assert 0.0 < b.min() < 1.0 / 64 + 1e-6 and b.max() < 1.0
+    d = np.asarray(dither_offsets(20, 30))
+    assert d.shape == (20, 30)
+    np.testing.assert_array_equal(d[:8, :8], b)
+    np.testing.assert_array_equal(d[8:16, 8:16], b)  # 8x8 tiling
+
+
+def test_quantize_u8_dither_error_bounds(rng):
+    from video_restore_tpu.ops.color import quantize_u8
+
+    x = jnp.asarray(rng.random((2, 40, 48, 3)).astype(np.float32))
+    q_round = np.asarray(quantize_u8(x, dither=False)).astype(np.float64)
+    q_dith = np.asarray(quantize_u8(x, dither=True)).astype(np.float64)
+    ref = np.asarray(x, np.float64) * 255.0
+    # per-pixel error stays within 1 LSB; the mean error stays unbiased
+    assert np.abs(q_dith - ref).max() < 1.0 + 1e-6
+    assert abs((q_dith - ref).mean()) < 0.05
+    # dither only ever moves a value across one code boundary
+    assert np.abs(q_dith - q_round).max() <= 1
+
+
+def test_dither_breaks_banding():
+    """A shallow gradient spanning <1 LSB/px quantizes to visible bands
+    with round(); dithering spreads the transition."""
+    from video_restore_tpu.ops.color import quantize_u8
+
+    # 0.5 LSB across 64 columns: round() makes one hard step
+    x = jnp.linspace(100.2 / 255, 100.8 / 255, 64)[None, None, :, None]
+    x = jnp.tile(x, (1, 16, 1, 1))
+    q_round = np.asarray(quantize_u8(x, dither=False))[0, :, :, 0]
+    q_dith = np.asarray(quantize_u8(x, dither=True))[0, :, :, 0]
+    assert len(np.unique(q_round)) == 2  # a hard band edge
+    # dithered: both codes appear mixed through the middle columns
+    mid = q_dith[:, 24:40]
+    assert set(np.unique(mid)) == {100, 101}
+    assert 0.2 < (mid == 101).mean() < 0.8
+
+
+def test_yuv420_dither_stays_in_studio_range(rng):
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    out = np.asarray(rgb_to_yuv420_planar(x, dither=True))
+    y = out[:, :16]
+    assert y.min() >= 16 and y.max() <= 235

@@ -2,7 +2,10 @@
 flagship body shape (tile chunk (B, 384, 504, 64) bf16).
 
 Chains iterations through a data dependency (output feeds input) and syncs
-via a tiny D2H slice — the tunnel-safe timing idiom from bench.py.
+via a tiny D2H slice — the tunnel-safe timing idiom from bench.py. Weights
+are passed as jit ARGUMENTS (closure-captured arrays become embedded
+constants, which sends XLA into minutes of compile-time constant folding
+on the CPU Eigen pool).
 
 Usage: python tools/bench_rdb.py [accum|regroup|stripe:BH|old64] ...
 """
@@ -37,18 +40,22 @@ B, H, W, NF, GC = 4, 384, 504, 64, 32
 REPS = 23  # RDB applications per timed step (one 23-block model's rdb1s)
 
 
-def bench(name, step, x, iters=6):
-    y = step(x)
+def bench(name, step, x, wargs, iters=6):
+    t0 = time.time()
+    y = step(x, wargs)
     np.asarray(y[0, :1, :1, :1])  # compile + settle
+    print(f"{name:>14}: compiled in {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     for _ in range(iters):
-        y = step(y)
+        y = step(y, wargs)
     np.asarray(y[0, :1, :1, :1])
     dt = (time.time() - t0) / (iters * REPS)
-    # per-RDB FLOPs: 2 * H*W * sum(cin*cout) MACs
-    macs = 2 * H * W * (NF * (NF + 4 * GC) + GC * ((NF + 3 * GC) + (NF + 2 * GC) + (NF + GC) + NF))
+    macs = 2 * H * W * (
+        NF * (NF + 4 * GC)
+        + GC * ((NF + 3 * GC) + (NF + 2 * GC) + (NF + GC) + NF)
+    )
     tf = B * macs / dt / 1e12
-    print(f"{name:>14}: {dt*1e3:7.2f} ms/RDB-call  {tf:6.1f} TF/s")
+    print(f"{name:>14}: {dt*1e3:7.2f} ms/RDB-call  {tf:6.1f} TF/s", flush=True)
 
 
 def main():
@@ -62,49 +69,72 @@ def main():
     for mode in modes:
         if mode == "accum":
             ws, bs = _accum_rdb_weights(rdb, NF, GC)
-            tp = {"w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws), "b": tuple(bs)}
+            tp = {
+                "w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                "b": tuple(bs),
+            }
 
             @jax.jit
-            def step(x, tp=tp):
+            def step(x, tp):
                 def body(h, _):
                     return _rdb_apply_accum(tp, h), None
+
                 return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, tp)
 
         elif mode == "regroup":
             ws, bs = _regroup_rdb_weights(rdb, NF, GC)
-            tp = {"w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws), "b": tuple(bs)}
+            tp = {
+                "w": tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                "b": tuple(bs),
+            }
 
             @jax.jit
-            def step(x, tp=tp):
+            def step(x, tp):
                 def body(h, _):
                     return _rdb_apply_regrouped(tp, h), None
+
                 return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, tp)
 
         elif mode.startswith("stripe"):
             bh = int(mode.split(":")[1]) if ":" in mode else 64
             ws, bs = prefix_rdb_weights(rdb, NF, GC)
-            ws = tuple(jnp.asarray(w, jnp.bfloat16) for w in ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
 
             @jax.jit
-            def step(x, ws=ws, bs=bs, bh=bh):
+            def step(x, wb, bh=bh):
                 def body(h, _):
-                    return rdb_stripe(h, ws, bs, block_h=bh), None
+                    return rdb_stripe(h, wb[0], wb[1], block_h=bh), None
+
                 return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, wb)
 
         elif mode == "old64":
             from video_restore_tpu.ops.pallas_rdb import rdb_fused
+
             ws, bs = _regroup_rdb_weights(rdb, NF, GC)
-            ws = tuple(jnp.asarray(w, jnp.bfloat16) for w in ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
 
             @jax.jit
-            def step(x, ws=ws, bs=bs):
+            def step(x, wb):
                 def body(h, _):
-                    return rdb_fused(h, ws, bs), None
+                    return rdb_fused(h, wb[0], wb[1]), None
+
                 return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, wb)
         else:
             raise SystemExit(f"unknown mode {mode}")
-
-        bench(mode, step, x)
 
 
 if __name__ == "__main__":

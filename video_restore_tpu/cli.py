@@ -82,6 +82,9 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
                    help="disable temporal consistency")
     p.add_argument("--no-color-enhance", action="store_true",
                    help="disable CLAHE color correction")
+    p.add_argument("--dither", action="store_true",
+                   help="ordered-dithered 8-bit quantization of the output "
+                        "(breaks up banding on smooth gradients)")
     p.add_argument("--format", dest="vformat", default=None,
                    choices=["h264", "h265", "mpeg4", "rawvideo"],
                    help="output video codec (h265 per README.md:250)")
@@ -139,6 +142,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         sharpen=sharpen,
         temporal=not args.no_temporal,
         color_enhance=not args.no_color_enhance,
+        dither=args.dither,
         anime_mode=args.anime_mode,
         face_enhance=args.face_enhance,
         video_codec=args.vformat or "h264",

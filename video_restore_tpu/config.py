@@ -79,6 +79,7 @@ class RestoreConfig:
     color_enhance: bool = True  # CLAHE when enhanced (README.md:11)
     clahe_clip: float = 2.0
     clahe_lr: bool = True  # apply CLAHE pre-upscale (16x cheaper, same look)
+    dither: bool = False  # ordered-dithered 8-bit output (anti-banding)
     anime_mode: bool = False  # README.md:161; selects anime model + tuned post
     face_enhance: bool = False  # face-region enhancement (README.md:3 gap)
     face_strength: float = 0.5

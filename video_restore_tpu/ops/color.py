@@ -32,7 +32,44 @@ def luma(rgb: jax.Array) -> jax.Array:
     return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
 
 
-def rgb_to_yuv420_planar(rgb: jax.Array) -> jax.Array:
+def _bayer8() -> "jnp.ndarray":
+    """8x8 ordered-dither (Bayer) threshold matrix, values in [0, 1).
+
+    Built recursively: B_{2n} = [[4B_n, 4B_n+2], [4B_n+3, 4B_n+1]] / 4.
+    Used to break up banding on smooth gradients when quantizing the
+    restored float output to 8 bits (ROADMAP quality item): replacing
+    round(x) = floor(x + 0.5) with floor(x + t_ij) where t_ij sweeps
+    [0, 1) turns the 1-LSB staircase into spatial noise shaped below the
+    visibility threshold. Deterministic (no PRNG in the hot path)."""
+    import numpy as np
+
+    b = np.array([[0, 2], [3, 1]], np.float32)
+    for _ in range(2):  # 2x2 -> 4x4 -> 8x8
+        b = np.block([[4 * b, 4 * b + 2], [4 * b + 3, 4 * b + 1]])
+    return jnp.asarray((b + 0.5) / b.size, jnp.float32)
+
+
+def dither_offsets(h: int, w: int) -> "jnp.ndarray":
+    """(h, w) tiled Bayer thresholds for ``floor(x*255 + t)`` quantization."""
+    b = _bayer8()
+    reps = (-(-h // 8), -(-w // 8))
+    return jnp.tile(b, reps)[:h, :w]
+
+
+def quantize_u8(x: jax.Array, dither: bool = False) -> jax.Array:
+    """[0,1] float -> uint8; ordered-dithered when ``dither`` (the mean
+    quantization error is identical to round(); only its spatial
+    distribution changes)."""
+    y = x * 255.0
+    if dither:
+        h, w = x.shape[-3], x.shape[-2]
+        y = jnp.floor(y + dither_offsets(h, w)[..., None])
+    else:
+        y = jnp.round(y)
+    return jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+
+def rgb_to_yuv420_planar(rgb: jax.Array, dither: bool = False) -> jax.Array:
     """(B, H, W, 3) float RGB in [0, 1] -> (B, H*3//2, W) uint8 planar I420
     (studio-range BT.601, 2x2-averaged chroma) — the exact byte layout y4m
     frames and ffmpeg ``-pix_fmt yuv420p`` rawvideo input expect.
@@ -50,7 +87,11 @@ def rgb_to_yuv420_planar(rgb: jax.Array) -> jax.Array:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     u = (b - y) * (1.0 / (2.0 * (1.0 - 0.114)))
     v = (r - y) * (1.0 / (2.0 * (1.0 - 0.299)))
-    yq = jnp.clip(jnp.round(16.0 + 219.0 * y), 16, 235).astype(jnp.uint8)
+    if dither:
+        yq = jnp.floor(16.0 + 219.0 * y + dither_offsets(h, w))
+    else:
+        yq = jnp.round(16.0 + 219.0 * y)
+    yq = jnp.clip(yq, 16, 235).astype(jnp.uint8)
     # 2x2 chroma average in float, then quantize (matches the host path)
     uq = u.reshape(b_, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
     vq = v.reshape(b_, h // 2, 2, w // 2, 2).mean(axis=(2, 4))

@@ -158,7 +158,7 @@ def _rdb_stripe_kernel(
         dma((n + 1) % 2, n + 1).start()
 
     dma(n % 2, n).wait()
-    x = xblk[n % 2]  # (he, wf, nf)
+    x = xblk[n % 2][:, :, :nf]  # strip the 128-lane DMA padding
     dt = out_ref.dtype
     g = gc
 
@@ -178,13 +178,21 @@ def _rdb_stripe_kernel(
         ok = (rowf >= 0) & (rowf < h) & col_ok
         return jnp.where(ok, ck, 0.0).astype(dt)
 
+    def add_prefix(acc, t):
+        # prefix update (Mosaic has no scatter-add; static slices + concat
+        # lower cleanly, and the offset-0 slice needs no lane shuffle)
+        cout = t.shape[-1]
+        return jnp.concatenate(
+            [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
+        )
+
     acc = _conv_prefix(x, w0[:])  # (he-2, wf, 4g+nf)
     c1 = grow(acc, 1, b1[0])
-    acc = acc[1:-1].at[:, :, : nf + 3 * g].add(_conv_prefix(c1, w1[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:]))
     c2 = grow(acc, 2, b2[0])
-    acc = acc[1:-1].at[:, :, : nf + 2 * g].add(_conv_prefix(c2, w2[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:]))
     c3 = grow(acc, 3, b3[0])
-    acc = acc[1:-1].at[:, :, : nf + g].add(_conv_prefix(c3, w3[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:]))
     c4 = grow(acc, 4, b4[0])
     c5 = acc[1:-1, :, :nf] + _conv_prefix(c4, w4[:]) + b5[0]
     center = x[_HALO : _HALO + bh, _PADL : _PADL + w, :].astype(jnp.float32)
@@ -218,11 +226,16 @@ def rdb_stripe(
     bh = block_h if block_h is not None else _pick_bh(h)
     ph = (bh - h % bh) % bh
     hp = h + ph
-    # W padded to a sublane multiple; mask handles the extra columns
+    # W padded to a sublane multiple; mask handles the extra columns.
+    # Channels padded to the 128-lane granule: Mosaic requires HBM DMA
+    # windows lane-aligned (and a 64-minor array is physically laid out
+    # 128-wide anyway, so the pad costs no extra HBM).
     wf = _PADL + w + _PADL
     wf += (8 - wf % 8) % 8
+    cpad = (128 - nf % 128) % 128
     xp = jnp.pad(
-        x, ((0, 0), (_HALO, _HALO + ph), (_PADL, wf - w - _PADL), (0, 0))
+        x,
+        ((0, 0), (_HALO, _HALO + ph), (_PADL, wf - w - _PADL), (0, cpad)),
     )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
     wlist = [wi.astype(x.dtype) for wi in ws]
@@ -243,7 +256,7 @@ def rdb_stripe(
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, nf), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 2 * _HALO, wf, nf), x.dtype),
+            pltpu.VMEM((2, bh + 2 * _HALO, wf, nf + cpad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

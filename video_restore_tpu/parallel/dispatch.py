@@ -60,13 +60,17 @@ class StepConfig:
     temporal_strength: float = 0.3
     scene_cut_thresh: float = 0.12  # mean |delta| (0-1 units) => hard reset
     yuv420_out: bool = False  # emit planar I420 on-device (halves D2H)
+    dither: bool = False  # ordered-dithered 8-bit quantization (anti-band)
 
     @staticmethod
     def from_config(cfg: RestoreConfig) -> "StepConfig":
+        dither = getattr(cfg, "dither", False)
         if not cfg.enhanced_mode:
             # explicit --denoise/--sharpen strengths are honoured even
             # without --enhanced; the enhanced flag adds CLAHE + temporal
-            return StepConfig(denoise=cfg.denoise, sharpen=cfg.sharpen)
+            return StepConfig(
+                denoise=cfg.denoise, sharpen=cfg.sharpen, dither=dither
+            )
         return StepConfig(
             denoise=cfg.denoise,
             sharpen=cfg.sharpen,
@@ -76,6 +80,7 @@ class StepConfig:
             temporal=cfg.temporal,
             temporal_strength=cfg.temporal_strength,
             scene_cut_thresh=cfg.scene_cut_thresh,
+            dither=dither,
         )
 
 
@@ -170,9 +175,15 @@ def restore_step(
     if step_cfg.yuv420_out:
         from video_restore_tpu.ops.color import rgb_to_yuv420_planar
 
-        return rgb_to_yuv420_planar(jnp.clip(y, 0.0, 1.0)), new_carry
-    out_u8 = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
-    return out_u8, new_carry
+        return (
+            rgb_to_yuv420_planar(
+                jnp.clip(y, 0.0, 1.0), dither=step_cfg.dither
+            ),
+            new_carry,
+        )
+    from video_restore_tpu.ops.color import quantize_u8
+
+    return quantize_u8(y, dither=step_cfg.dither), new_carry
 
 
 class ShardedUpscaler:
