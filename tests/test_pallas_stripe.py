@@ -75,3 +75,35 @@ def test_prefix_weights_shapes():
     for w, cin, cout in zip(ws, cins, couts):
         assert w.shape == (3, 3 * cin, cout)
     assert bs[0].shape == (gc,) and bs[4].shape == (nf,)
+
+
+def test_full_model_stripe_path_interpret(rng):
+    """_apply(stripe=True) through interpret-mode pallas must agree with
+    the regrouped XLA path end to end (prepared and unprepared)."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_stripe as pk
+    from video_restore_tpu.models.rrdbnet import (
+        _apply,
+        apply_rrdbnet,
+        prepare_rrdbnet,
+    )
+
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=4)
+    params = init_rrdbnet(jax.random.PRNGKey(1), spec)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+
+    orig = pk.rdb_stripe
+
+    def interp(xx, ws, bs, block_h=None, interpret=False):
+        return orig(xx, ws, bs, block_h=block_h, interpret=True)
+
+    with mock.patch.object(pk, "rdb_stripe", interp):
+        out = np.asarray(_apply(params, x, spec.scale, stripe=True))
+        pp = prepare_rrdbnet(params, "stripe", spec.num_feat, spec.num_grow_ch)
+        out_prep = np.asarray(
+            _apply(pp, x, spec.scale, stripe=True, prepared=True)
+        )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)

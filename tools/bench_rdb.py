@@ -50,7 +50,7 @@ def bench(name, step, x, wargs, iters=6):
         y = step(y, wargs)
     np.asarray(y[0, :1, :1, :1])
     dt = (time.time() - t0) / (iters * REPS)
-    macs = 2 * H * W * (
+    macs = 2 * 9 * H * W * (  # 3x3 taps x per-pixel cin*cout sums
         NF * (NF + 4 * GC)
         + GC * ((NF + 3 * GC) + (NF + 2 * GC) + (NF + GC) + NF)
     )

@@ -119,6 +119,7 @@ class ModelHandle:
                 use_pallas=mode == "pallas",
                 sd=mode == "sd",
                 accum=mode == "accum",
+                stripe=mode == "stripe",
                 prepared=mode != "naive",
             )
 

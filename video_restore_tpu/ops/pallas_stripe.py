@@ -82,10 +82,11 @@ def prefix_rdb_weights(p, nf: int, gc: int):
     for s in range(5):
         # destinations conv5, conv4, ..., conv_{s+1} (reversed)
         parts = [src_slice(k, s) for k in range(4, s - 1, -1)]
-        w = jnp.concatenate(parts, axis=-1)  # (3, 3, cin_s, cout_s)
-        kh, kw, cin, cout = w.shape
-        # dx-major stack, dy folded into K (dy-major: K = dy*cin + c)
-        w = w.transpose(1, 0, 2, 3).reshape(kw, kh * cin, cout)
+        w = jnp.concatenate(parts, axis=-1)  # (..., 3, 3, cin_s, cout_s)
+        # dx-major stack, dy folded into K (dy-major: K = dy*cin + c);
+        # batch-agnostic so it applies to (num_block, ...) stacked leaves
+        w = jnp.swapaxes(w, -4, -3)  # (..., kw, kh, cin, cout)
+        w = w.reshape(w.shape[:-3] + (3 * w.shape[-2], w.shape[-1]))
         out.append(w)
     biases = [p[f"conv{k}"]["b"] for k in range(1, 6)]
     return tuple(out), tuple(biases)
@@ -200,11 +201,20 @@ def _rdb_stripe_kernel(
     out_ref[0] = out.astype(dt)
 
 
-def _pick_bh(h: int, prefer: Tuple[int, ...] = (64, 48, 32)) -> int:
-    for cand in prefer:
+# Measured VMEM anchor (v5e, 128MB): bh=64 at wf=520 compiles (~115MB with
+# double-buffered in/out windows + fp32 accumulator); bh=96 at wf=520 needs
+# 163MB. Clamp the stripe so (bh + 2*_HALO) * wf stays under the anchor.
+_VMEM_ROWS_WF = 74 * 520
+
+
+def _pick_bh(h: int, wf: int, prefer: Tuple[int, ...] = (64, 48, 32, 16)) -> int:
+    fits = [c for c in prefer if (c + 2 * _HALO) * wf <= _VMEM_ROWS_WF]
+    if not fits:
+        return prefer[-1]
+    for cand in fits:  # prefer a divisor (no padded rows)
         if h % cand == 0:
             return cand
-    return prefer[0]  # pad to a multiple
+    return fits[0]  # pad to a multiple
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_h"))
@@ -223,9 +233,6 @@ def rdb_stripe(
     """
     b, h, w, nf = x.shape
     gc = ws[1].shape[-2] // 3  # c1-source conv: K = 3*gc
-    bh = block_h if block_h is not None else _pick_bh(h)
-    ph = (bh - h % bh) % bh
-    hp = h + ph
     # W padded to a sublane multiple; mask handles the extra columns.
     # Channels padded to the 128-lane granule: Mosaic requires HBM DMA
     # windows lane-aligned (and a 64-minor array is physically laid out
@@ -233,6 +240,9 @@ def rdb_stripe(
     wf = _PADL + w + _PADL
     wf += (8 - wf % 8) % 8
     cpad = (128 - nf % 128) % 128
+    bh = block_h if block_h is not None else _pick_bh(h, wf)
+    ph = (bh - h % bh) % bh
+    hp = h + ph
     xp = jnp.pad(
         x,
         ((0, 0), (_HALO, _HALO + ph), (_PADL, wf - w - _PADL), (0, cpad)),
