@@ -65,7 +65,8 @@ def test_progress_plain_fallback(capsys, monkeypatch):
     p._bar = None  # simulate missing tqdm
     p._last_print = -10
     p.update(3)
-    assert "3/10 frames" in capsys.readouterr().out
+    # plain fallback prints to stderr: stdout may carry the y4m stream
+    assert "3/10 frames" in capsys.readouterr().err
     p.close()
 
 

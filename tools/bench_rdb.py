@@ -100,7 +100,9 @@ def main():
             bench(mode, step, x, tp)
 
         elif mode.startswith("stripe"):
+            # stripe:BH (fp32 accumulator) or stripe16:BH (bf16 acc)
             bh = int(mode.split(":")[1]) if ":" in mode else 64
+            a16 = mode.startswith("stripe16")
             ws, bs = prefix_rdb_weights(rdb, NF, GC)
             wb = (
                 tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
@@ -108,9 +110,14 @@ def main():
             )
 
             @jax.jit
-            def step(x, wb, bh=bh):
+            def step(x, wb, bh=bh, a16=a16):
                 def body(h, _):
-                    return rdb_stripe(h, wb[0], wb[1], block_h=bh), None
+                    return (
+                        rdb_stripe(
+                            h, wb[0], wb[1], block_h=bh, acc_bf16=a16
+                        ),
+                        None,
+                    )
 
                 return lax.scan(body, x, None, length=REPS)[0]
 

@@ -100,11 +100,13 @@ def _roll_w(x, d: int):
     return pltpu.roll(x, (wf - d) % wf, 1)
 
 
-def _conv_prefix(a, w):
+def _conv_prefix(a, w, out_dt=jnp.float32):
     """3x3 conv, column-aligned: (e, Wf, cin) x (3, 3cin, cout) ->
-    (e-2, Wf, cout) fp32; output row r/col j centered on input row r+1 /
-    col j. Columns {0, Wf-1} are wrapped garbage (handled by the caller's
-    frame mask)."""
+    (e-2, Wf, cout) ``out_dt``; output row r/col j centered on input row
+    r+1 / col j. Columns {0, Wf-1} are wrapped garbage (handled by the
+    caller's frame mask). The per-dx partials stay fp32 through the
+    alignment rolls (Mosaic rotates 32-bit data only) and are cast on the
+    final sum."""
     e, wf, cin = a.shape
     oh = e - 2
     ak = jnp.concatenate([a[0:oh], a[1 : 1 + oh], a[2 : 2 + oh]], axis=2)
@@ -118,7 +120,7 @@ def _conv_prefix(a, w):
         )
         p = _roll_w(p, dx - 1)
         acc = p if acc is None else acc + p
-    return acc
+    return acc.astype(out_dt)
 
 
 def _rdb_stripe_kernel(
@@ -137,6 +139,7 @@ def _rdb_stripe_kernel(
     gc: int,
     nstripes: int,
     nb: int,
+    acc_bf16: bool,
 ):
     bi = pl.program_id(0)
     si = pl.program_id(1)
@@ -161,6 +164,7 @@ def _rdb_stripe_kernel(
     dma(n % 2, n).wait()
     x = xblk[n % 2][:, :, :nf]  # strip the 128-lane DMA padding
     dt = out_ref.dtype
+    acc_dt = jnp.bfloat16 if acc_bf16 else jnp.float32
     g = gc
 
     cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
@@ -187,15 +191,19 @@ def _rdb_stripe_kernel(
             [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
         )
 
-    acc = _conv_prefix(x, w0[:])  # (he-2, wf, 4g+nf)
+    acc = _conv_prefix(x, w0[:], acc_dt)  # (he-2, wf, 4g+nf)
     c1 = grow(acc, 1, b1[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
     c2 = grow(acc, 2, b2[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
     c3 = grow(acc, 3, b3[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:]))
+    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
     c4 = grow(acc, 4, b4[0])
-    c5 = acc[1:-1, :, :nf] + _conv_prefix(c4, w4[:]) + b5[0]
+    c5 = (
+        acc[1:-1, :, :nf].astype(jnp.float32)
+        + _conv_prefix(c4, w4[:])
+        + b5[0]
+    )
     center = x[_HALO : _HALO + bh, _PADL : _PADL + w, :].astype(jnp.float32)
     out = center + 0.2 * c5[:, _PADL : _PADL + w, :]
     out_ref[0] = out.astype(dt)
@@ -217,13 +225,16 @@ def _pick_bh(h: int, wf: int, prefer: Tuple[int, ...] = (64, 48, 32, 16)) -> int
     return fits[0]  # pad to a multiple
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_h"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_h", "acc_bf16")
+)
 def rdb_stripe(
     x: jax.Array,
     ws: Sequence[jax.Array],
     bs: Sequence[jax.Array],
     block_h: int | None = None,
     interpret: bool = False,
+    acc_bf16: bool = False,
 ) -> jax.Array:
     """Fused RDB forward, stripe grid: x (B, H, W, nf) -> (B, H, W, nf).
 
@@ -254,6 +265,7 @@ def rdb_stripe(
     kernel = functools.partial(
         _rdb_stripe_kernel,
         bh=bh, h=h, w=w, wf=wf, nf=nf, gc=gc, nstripes=nstripes, nb=b,
+        acc_bf16=acc_bf16,
     )
     out = pl.pallas_call(
         kernel,
