@@ -67,6 +67,44 @@ def test_rdb_stripe_bf16(rng):
     assert np.abs(out - ref).max() < 0.05
 
 
+def test_rdb_stripe_padded_chain(rng):
+    """Chained padded-form RDBs + RRDB residual == unpadded reference, and
+    the pad-region zero invariant survives the chain (the next kernel's
+    SAME semantics depend on it)."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        _HALO,
+        _PADL,
+        pad_stripe_entry,
+        rdb_stripe_padded,
+        unpad_stripe_exit,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=0)
+    rdb2, ws2, bs2 = _one_rdb(seed=1)
+    b, h, w, nf = 2, 48, 40, 16
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = _rdb_apply(rdb2, _rdb_apply(rdb1, x)) * 0.2 + x
+
+    bh = 32
+    xp = pad_stripe_entry(x, block_h=bh)
+    o = rdb_stripe_padded(
+        xp, ws1, bs1, frame_h=h, frame_w=w, block_h=bh, interpret=True
+    )
+    o = rdb_stripe_padded(
+        o, ws2, bs2, frame_h=h, frame_w=w, block_h=bh, interpret=True
+    )
+    o = o * 0.2 + xp
+    out = unpad_stripe_exit(o, h, w, nf, block_h=bh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    op = np.asarray(o)
+    assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+    assert np.all(op[:, :, : _PADL] == 0)
+    assert np.all(op[:, :, _PADL + w :] == 0)
+    assert np.all(op[..., nf:] == 0)
+
+
 def test_prefix_weights_shapes():
     nf, gc = 16, 8
     _, ws, bs = _one_rdb(nf, gc)
@@ -94,12 +132,13 @@ def test_full_model_stripe_path_interpret(rng):
     x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
 
-    orig = pk.rdb_stripe
+    orig = pk.rdb_stripe_padded
 
-    def interp(xx, ws, bs, block_h=None, interpret=False):
-        return orig(xx, ws, bs, block_h=block_h, interpret=True)
+    def interp(xx, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig(xx, ws, bs, **kw)
 
-    with mock.patch.object(pk, "rdb_stripe", interp):
+    with mock.patch.object(pk, "rdb_stripe_padded", interp):
         out = np.asarray(_apply(params, x, spec.scale, stripe=True))
         pp = prepare_rrdbnet(params, "stripe", spec.num_feat, spec.num_grow_ch)
         out_prep = np.asarray(

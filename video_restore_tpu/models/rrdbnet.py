@@ -324,17 +324,24 @@ def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
     return rrdb_fused(x, tp)
 
 
-def _rrdb_apply_stripe(tp: Params, x: jax.Array) -> jax.Array:
+def _rrdb_apply_stripe(tp: Params, xp: jax.Array, h: int, w: int) -> jax.Array:
     """RRDB via the stripe-form fused RDB kernel (ops/pallas_stripe.py):
     measured 2.0x the XLA accum path per RDB on v5e (5.7 vs 11.6 ms on the
     flagship 4x384x504x64 body shape) — full-width stripes, dy-packed
-    matmul contraction, prefix accumulator, double-buffered DMA."""
-    from video_restore_tpu.ops.pallas_stripe import rdb_stripe
+    matmul contraction, prefix accumulator, double-buffered DMA.
 
-    out = rdb_stripe(x, tp["rdb1"]["w"], tp["rdb1"]["b"])
-    out = rdb_stripe(out, tp["rdb2"]["w"], tp["rdb2"]["b"])
-    out = rdb_stripe(out, tp["rdb3"]["w"], tp["rdb3"]["b"])
-    return out * jnp.asarray(0.2, x.dtype) + x
+    Operates in padded stripe form (see pad_stripe_entry): the three RDBs
+    and the 0.2-residual chain with no per-call XLA pads (pad regions stay
+    exact zeros through the kernel's masked output and the residual add).
+    """
+    from video_restore_tpu.ops.pallas_stripe import rdb_stripe_padded
+
+    out = xp
+    for r in ("rdb1", "rdb2", "rdb3"):
+        out = rdb_stripe_padded(
+            out, tp[r]["w"], tp[r]["b"], frame_h=h, frame_w=w
+        )
+    return out * jnp.asarray(0.2, xp.dtype) + xp
 
 
 def default_use_pallas() -> bool:
@@ -458,7 +465,7 @@ def _apply(
                     body[r] = {"w": tuple(ws), "b": tuple(bs)}
 
             if stripe:
-                rrdb_fn = _rrdb_apply_stripe
+                rrdb_fn = None  # padded-form chain below
             elif use_pallas:
                 rrdb_fn = _rrdb_apply_pallas
             elif accum:
@@ -469,7 +476,24 @@ def _apply(
             def block_step(h, bp):
                 return rrdb_fn(bp, h), None
 
-        body_out, _ = lax.scan(block_step, feat, body)
+        if not naive and stripe:
+            # pad once, run the whole 23-block body in padded stripe form,
+            # slice once — no XLA pads inside the scan
+            from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe_entry,
+                unpad_stripe_exit,
+            )
+
+            fh, fw = feat.shape[1], feat.shape[2]
+            xp = pad_stripe_entry(feat)
+
+            def stripe_step(hc, bp):
+                return _rrdb_apply_stripe(bp, hc, fh, fw), None
+
+            body_out, _ = lax.scan(stripe_step, xp, body)
+            body_out = unpad_stripe_exit(body_out, fh, fw, nf)
+        else:
+            body_out, _ = lax.scan(block_step, feat, body)
         body_out = conv2d(
             body_out, params["conv_body"]["w"], params["conv_body"]["b"]
         )

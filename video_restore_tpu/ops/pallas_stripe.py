@@ -127,7 +127,7 @@ def _rdb_stripe_kernel(
     xp_ref,  # (B, Hp, Wf, nf) in ANY/HBM — padded input
     w0, w1, w2, w3, w4,  # prefix-form weights (3, 3cin, cout), VMEM
     b1, b2, b3, b4, b5,  # biases (1, 1, g|nf) fp32, VMEM
-    out_ref,  # (1, bh, W, nf) VMEM block
+    out_ref,  # (1, bh, W, nf) VMEM block — or (1, bh, Wf, nfp) when padded
     xblk,  # scratch (2, bh + 2*_HALO, Wf, nf) — double-buffer slots
     sem,  # DMA semaphores (2,)
     *,
@@ -140,73 +140,129 @@ def _rdb_stripe_kernel(
     nstripes: int,
     nb: int,
     acc_bf16: bool,
+    padded_out: bool = False,
+    cpad: int = 0,
 ):
     bi = pl.program_id(0)
-    si = pl.program_id(1)
-    n = bi * nstripes + si
+    if padded_out:
+        # grid walks nstripes+2 row-blocks: blocks 0 and nstripes+1 are the
+        # bh-row zero halos (written through the same output pipeline — an
+        # XLA jnp.pad here measured 0.63ms/call, a full rewrite of the
+        # array; the zero block costs one pipelined block write).
+        gi = pl.program_id(1)
+        si = gi - 1
+        is_halo = (gi == 0) | (gi == nstripes + 1)
+        # body-program counter (zero blocks don't consume input windows)
+        m = bi * nstripes + jnp.clip(si, 0, nstripes - 1)
+        row_off = bh - _HALO  # window start: frame row si*bh - _HALO
+    else:
+        si = pl.program_id(1)
+        is_halo = None
+        m = bi * nstripes + si
+        row_off = 0
     he = bh + 2 * _HALO
 
     def dma(slot, idx):
         bb = idx // nstripes
         ii = idx % nstripes
         return pltpu.make_async_copy(
-            xp_ref.at[bb, pl.ds(ii * bh, he)], xblk.at[slot], sem.at[slot]
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he)],
+            xblk.at[slot],
+            sem.at[slot],
         )
 
-    @pl.when(n == 0)
-    def _():
-        dma(0, 0).start()
+    if padded_out:
+        # bootstrap on the very first (halo) program; body program m
+        # prefetches window m+1, halo programs issue nothing
+        @pl.when((bi == 0) & (gi == 0))
+        def _():
+            dma(0, 0).start()
 
-    @pl.when(n + 1 < nb * nstripes)
-    def _():
-        dma((n + 1) % 2, n + 1).start()
+    else:
+        @pl.when(m == 0)
+        def _():
+            dma(0, 0).start()
 
-    dma(n % 2, n).wait()
-    x = xblk[n % 2][:, :, :nf]  # strip the 128-lane DMA padding
-    dt = out_ref.dtype
-    acc_dt = jnp.bfloat16 if acc_bf16 else jnp.float32
-    g = gc
+    def compute():
+        @pl.when(m + 1 < nb * nstripes)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
 
-    cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
-    col_ok = (cols >= _PADL) & (cols < _PADL + w)
-    row0 = si * bh  # frame row of window row _HALO
+        dma(m % 2, m).wait()
+        x = xblk[m % 2][:, :, :nf]  # strip the 128-lane DMA padding
+        dt = out_ref.dtype
+        acc_dt = jnp.bfloat16 if acc_bf16 else jnp.float32
+        g = gc
 
-    def grow(acc, k, bias):
-        """Extract c_k from the accumulator, mask to the frame (exact SAME
-        padding), and cast for the next conv. c_k row r <-> frame row
-        row0 + r - (5 - k)."""
-        e = acc.shape[0]
-        lo = nf + (4 - k) * g
-        ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
-        rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
-        rowf = rows + (row0 - (_HALO - k))
-        ok = (rowf >= 0) & (rowf < h) & col_ok
-        return jnp.where(ok, ck, 0.0).astype(dt)
+        cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
+        col_ok = (cols >= _PADL) & (cols < _PADL + w)
+        row0 = si * bh  # frame row of window row _HALO
 
-    def add_prefix(acc, t):
-        # prefix update (Mosaic has no scatter-add; static slices + concat
-        # lower cleanly, and the offset-0 slice needs no lane shuffle)
-        cout = t.shape[-1]
-        return jnp.concatenate(
-            [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
+        def grow(acc, k, bias):
+            """Extract c_k from the accumulator, mask to the frame (exact
+            SAME padding), and cast for the next conv. c_k row r <-> frame
+            row row0 + r - (5 - k)."""
+            e = acc.shape[0]
+            lo = nf + (4 - k) * g
+            ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
+            rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+            rowf = rows + (row0 - (_HALO - k))
+            ok = (rowf >= 0) & (rowf < h) & col_ok
+            return jnp.where(ok, ck, 0.0).astype(dt)
+
+        def add_prefix(acc, t):
+            # prefix update (Mosaic has no scatter-add; static slices +
+            # concat lower cleanly, and the offset-0 slice needs no lane
+            # shuffle)
+            cout = t.shape[-1]
+            return jnp.concatenate(
+                [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
+            )
+
+        acc = _conv_prefix(x, w0[:], acc_dt)  # (he-2, wf, 4g+nf)
+        c1 = grow(acc, 1, b1[0])
+        acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
+        c2 = grow(acc, 2, b2[0])
+        acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
+        c3 = grow(acc, 3, b3[0])
+        acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
+        c4 = grow(acc, 4, b4[0])
+        c5 = (
+            acc[1:-1, :, :nf].astype(jnp.float32)
+            + _conv_prefix(c4, w4[:])
+            + b5[0]
         )
+        if padded_out:
+            # full-width output, zeroed outside the frame: the next RDB
+            # (or the RRDB residual) consumes this buffer directly as its
+            # padded input, so the W-pad columns and the H-alignment rows
+            # must be exact zeros (they feed the next conv's SAME
+            # padding). Channel pad lanes are zeroed too: the padded form
+            # flows through the block residual.
+            center = x[_HALO : _HALO + bh, :, :].astype(jnp.float32)
+            rows = lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+            ok = ((rows + si * bh) < h) & col_ok
+            out = jnp.where(ok, center + 0.2 * c5, 0.0).astype(dt)
+            if cpad:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((bh, wf, cpad), dt)], axis=2
+                )
+            out_ref[0] = out
+        else:
+            center = x[_HALO : _HALO + bh, _PADL : _PADL + w, :].astype(
+                jnp.float32
+            )
+            out = center + 0.2 * c5[:, _PADL : _PADL + w, :]
+            out_ref[0] = out.astype(dt)
 
-    acc = _conv_prefix(x, w0[:], acc_dt)  # (he-2, wf, 4g+nf)
-    c1 = grow(acc, 1, b1[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
-    c2 = grow(acc, 2, b2[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
-    c3 = grow(acc, 3, b3[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
-    c4 = grow(acc, 4, b4[0])
-    c5 = (
-        acc[1:-1, :, :nf].astype(jnp.float32)
-        + _conv_prefix(c4, w4[:])
-        + b5[0]
-    )
-    center = x[_HALO : _HALO + bh, _PADL : _PADL + w, :].astype(jnp.float32)
-    out = center + 0.2 * c5[:, _PADL : _PADL + w, :]
-    out_ref[0] = out.astype(dt)
+    if padded_out:
+        @pl.when(is_halo)
+        def _():
+            out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+        pl.when(~is_halo)(compute)
+    else:
+        compute()
 
 
 # Measured VMEM anchor (v5e, 128MB): bh=64 at wf=520 compiles (~115MB with
@@ -223,6 +279,115 @@ def _pick_bh(h: int, wf: int, prefer: Tuple[int, ...] = (64, 48, 32, 16)) -> int
         if h % cand == 0:
             return cand
     return fits[0]  # pad to a multiple
+
+
+def _geometry(h: int, w: int, nf: int, block_h: int | None):
+    """Shared padded-form geometry: (wf, cpad, bh, hp)."""
+    wf = _PADL + w + _PADL
+    wf += (8 - wf % 8) % 8
+    cpad = (128 - nf % 128) % 128
+    bh = block_h if block_h is not None else _pick_bh(h, wf)
+    hp = h + (bh - h % bh) % bh
+    return wf, cpad, bh, hp
+
+
+@functools.partial(jax.jit, static_argnames=("block_h",))
+def pad_stripe_entry(x: jax.Array, block_h: int | None = None) -> jax.Array:
+    """(B, h, w, nf) -> padded stripe form (B, hp + 2*bh, Wf, nf+cpad).
+
+    One-time entry pad for a chain of ``rdb_stripe_padded`` calls: all pad
+    regions are exact zeros (SAME-conv semantics for the first RDB), and
+    every padded-mode kernel re-establishes that invariant on its output,
+    so the whole 23-block body runs pad-free (XLA pads before each of the
+    69 RDB calls measured ~129ms/frame on v5e — 9% of the flagship step).
+    The H halo is a full bh-row block (not _HALO rows) so the kernel can
+    write it through the block-aligned output pipeline.
+    """
+    b, h, w, nf = x.shape
+    wf, cpad, bh, hp = _geometry(h, w, nf, block_h)
+    return jnp.pad(
+        x,
+        (
+            (0, 0),
+            (bh, bh + hp - h),
+            (_PADL, wf - w - _PADL),
+            (0, cpad),
+        ),
+    )
+
+
+def unpad_stripe_exit(
+    xp: jax.Array, h: int, w: int, nf: int, block_h: int | None = None
+) -> jax.Array:
+    """Inverse of pad_stripe_entry (any hp)."""
+    wf, _, bh, _ = _geometry(h, w, nf, block_h)
+    return xp[:, bh : bh + h, _PADL : _PADL + w, :nf]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_h", "frame_w", "block_h", "interpret"),
+)
+def rdb_stripe_padded(
+    xp: jax.Array,
+    ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused RDB forward in padded stripe form: (B, hp+2*bh, Wf, nfp) ->
+    same shape, chainable (output pad regions are exact zeros; channel pad
+    lanes zeroed so the padded form flows through the RRDB residual).
+
+    No XLA ops touch the array between chained calls: the bh-row H halos
+    are written as zero blocks by two extra grid steps through the same
+    block-aligned output pipeline (a jnp.pad here — even H-only — rewrites
+    the whole array at ~0.63ms/call on v5e).
+    """
+    b, hp2, wf_in, nfp = xp.shape
+    nf = ws[0].shape[-2] // 3
+    gc = ws[1].shape[-2] // 3
+    wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h)
+    if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
+        raise ValueError(
+            f"padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wf, nf + cpad)})"
+        )
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+    nstripes = hp // bh
+
+    kernel = functools.partial(
+        _rdb_stripe_kernel,
+        bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, gc=gc,
+        nstripes=nstripes, nb=b, acc_bf16=False,
+        padded_out=True, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nstripes + 2),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(
+            (1, bh, wf, nf + cpad), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wf, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2 * _HALO, wf, nf + cpad), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, *wlist, *bias3)
 
 
 @functools.partial(

@@ -110,19 +110,23 @@ def _clahe_luma(
     th, tw = -(-h // gy), -(-w // gx)  # ceil tile size
     ph, pw = th * gy - h, tw * gx - w
     yp = jnp.pad(y, ((0, ph), (0, pw)), mode="reflect")
-    hh, ww = yp.shape
 
     q = jnp.clip(jnp.round(yp * (bins - 1)), 0, bins - 1).astype(jnp.int32)
+    binsv = jnp.arange(bins, dtype=jnp.int32)
 
-    # tile ids per pixel
+    # --- tile histograms: fused one-hot compare + reduce. A scatter-add
+    # (`.at[idx].add(1)`) over the 2M pixels measured 18ms/frame on v5e
+    # (serial scatter path); the compare-reduce fuses on the VPU. Counts
+    # are exact (0/1 sums in fp32).
     tile_area = th * tw
-    ty = jnp.arange(hh) // th
-    tx = jnp.arange(ww) // tw
-    tid = ty[:, None] * gx + tx[None, :]
-
-    flat_idx = (tid * bins + q).reshape(-1)
-    hist = jnp.zeros((gy * gx * bins,), jnp.float32).at[flat_idx].add(1.0)
-    hist = hist.reshape(gy * gx, bins)
+    qt = (
+        q.reshape(gy, th, gx, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(gy * gx, tile_area)
+    )
+    hist = jnp.sum(
+        (qt[:, :, None] == binsv[None, None, :]).astype(jnp.float32), axis=1
+    )  # (T, bins)
 
     # clip + redistribute (cv2: limit = max(clipLimit*area/bins, 1))
     limit = jnp.maximum(clip_limit * tile_area / bins, 1.0)
@@ -133,32 +137,69 @@ def _clahe_luma(
     # cv2 LUT: scale = (bins-1)/tileArea; lut = round(cdf * scale)
     lut = jnp.round(cdf * ((bins - 1) / tile_area))  # (T, bins)
 
-    # bilinear interpolation between tile LUTs, cv2-style: tile centres at
-    # (t + 0.5) * tile_size; clamp to border tiles.
-    fy = (jnp.arange(hh) + 0.5) / th - 0.5
-    fx = (jnp.arange(ww) + 0.5) / tw - 0.5
+    # --- LUT application: band-aligned one-hot matmul. cv2 bilinearly
+    # blends the 4 surrounding tile LUTs per pixel (tile centres at
+    # (t+0.5)*size, clamped at borders); 4 full-frame `jnp.take` gathers
+    # measured 59ms/frame on v5e. y0 changes only at tile centres, so
+    # padding the frame to the centre grid makes (y0, y1, x0, x1)
+    # CONSTANT within each (band_y, band_x) block, and the per-block
+    # apply becomes onehot(q) @ lut4 — exact (one nonzero per row; LUT
+    # values are integers < 2^8, bf16-exact).
+    pt, pleft = (th + 1) // 2, (tw + 1) // 2  # centre-grid offsets
+    by = -(-(pt + yp.shape[0]) // th)
+    bx = -(-(pleft + yp.shape[1]) // tw)
+    qb = jnp.pad(
+        q,
+        ((pt, by * th - yp.shape[0] - pt), (pleft, bx * tw - yp.shape[1] - pleft)),
+        mode="edge",
+    )
+    qblk = (
+        qb.reshape(by, th, bx, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(by * bx, tile_area)
+    )
+    bandy = jnp.arange(by)
+    bandx = jnp.arange(bx)
+    y0b = jnp.clip(bandy - 1, 0, gy - 1)
+    y1b = jnp.clip(bandy, 0, gy - 1)
+    x0b = jnp.clip(bandx - 1, 0, gx - 1)
+    x1b = jnp.clip(bandx, 0, gx - 1)
+    lutg = lut.reshape(gy, gx, bins)
+    lut4 = jnp.stack(
+        [
+            lutg[y0b[:, None], x0b[None, :]],
+            lutg[y0b[:, None], x1b[None, :]],
+            lutg[y1b[:, None], x0b[None, :]],
+            lutg[y1b[:, None], x1b[None, :]],
+        ],
+        axis=-1,
+    ).reshape(by * bx, bins, 4)
+    onehot = (qblk[:, :, None] == binsv[None, None, :]).astype(jnp.bfloat16)
+    v4 = jax.lax.dot_general(
+        onehot,
+        lut4.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, P, 4)
+    v4 = (
+        v4.reshape(by, bx, th, tw, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(by * th, bx * tw, 4)[pt : pt + h, pleft : pleft + w]
+    )
+
+    fy = (jnp.arange(h) + 0.5) / th - 0.5
+    fx = (jnp.arange(w) + 0.5) / tw - 0.5
     y0 = jnp.clip(jnp.floor(fy), 0, gy - 1).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(fx), 0, gx - 1).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, gy - 1)
-    x1 = jnp.minimum(x0 + 1, gx - 1)
     wy = jnp.clip(fy - y0, 0.0, 1.0)[:, None]
     wx = jnp.clip(fx - x0, 0.0, 1.0)[None, :]
-
-    def lut_at(tyi, txi):
-        t = (tyi[:, None] * gx + txi[None, :]) * bins + q
-        return jnp.take(lut.reshape(-1), t)
-
-    v00 = lut_at(y0, x0)
-    v01 = lut_at(y0, x1)
-    v10 = lut_at(y1, x0)
-    v11 = lut_at(y1, x1)
     out = (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
+        v4[..., 0] * (1 - wy) * (1 - wx)
+        + v4[..., 1] * (1 - wy) * wx
+        + v4[..., 2] * wy * (1 - wx)
+        + v4[..., 3] * wy * wx
     )
-    return (out / (bins - 1))[:h, :w].astype(y.dtype)
+    return (out / (bins - 1)).astype(y.dtype)
 
 
 def clahe(
