@@ -105,6 +105,79 @@ def test_rdb_stripe_padded_chain(rng):
     assert np.all(op[..., nf:] == 0)
 
 
+def test_rdb_res_stripe_padded(rng):
+    """rdb3+residual kernel (output aliased to the block-input buffer) ==
+    rdb then x0 + 0.2*out, with the inherited pad-zero invariant."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        _PADL,
+        pad_stripe_entry,
+        rdb_res_stripe_padded,
+        rdb_stripe_padded,
+        unpad_stripe_exit,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=0)
+    rdb3, ws3, bs3 = _one_rdb(seed=2)
+    b, h, w, nf = 2, 56, 40, 16
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = _rdb_apply(rdb3, _rdb_apply(rdb1, x)) * 0.2 + x
+
+    bh = 32
+    xp = pad_stripe_entry(x, block_h=bh)
+    o = rdb_stripe_padded(
+        xp, ws1, bs1, frame_h=h, frame_w=w, block_h=bh, interpret=True
+    )
+    o = rdb_res_stripe_padded(
+        o, xp, ws3, bs3, frame_h=h, frame_w=w, block_h=bh, interpret=True
+    )
+    out = unpad_stripe_exit(o, h, w, nf, block_h=bh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    op = np.asarray(o)
+    assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+    assert np.all(op[:, :, : _PADL] == 0)
+    assert np.all(op[:, :, _PADL + w :] == 0)
+    assert np.all(op[..., nf:] == 0)
+
+
+def test_rrdb_stripe_fused(rng):
+    """Whole-RRDB fused kernel (3 chained RDB stages + residual in one
+    program) == the naive torch-ordered chain, and the pad-zero invariant
+    holds on its output."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        _PADL,
+        pad_stripe_entry,
+        rrdb_stripe_padded,
+        unpad_stripe_exit,
+    )
+
+    rdbs = [_one_rdb(seed=s) for s in range(3)]
+    b, h, w, nf = 2, 56, 40, 16  # h not a multiple of bh: alignment rows
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = x
+    for rdb, _, _ in rdbs:
+        ref = _rdb_apply(rdb, ref)
+    ref = ref * 0.2 + x
+
+    ws = [wk for _, w5, _ in rdbs for wk in w5]
+    bs = [bk for _, _, b5 in rdbs for bk in b5]
+    bh = 32
+    xp = pad_stripe_entry(x, block_h=bh)
+    o = rrdb_stripe_padded(
+        xp, ws, bs, frame_h=h, frame_w=w, block_h=bh, interpret=True
+    )
+    out = unpad_stripe_exit(o, h, w, nf, block_h=bh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    op = np.asarray(o)
+    assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+    assert np.all(op[:, :, : _PADL] == 0)
+    assert np.all(op[:, :, _PADL + w :] == 0)
+    assert np.all(op[..., nf:] == 0)
+
+
 def test_prefix_weights_shapes():
     nf, gc = 16, 8
     _, ws, bs = _one_rdb(nf, gc)
@@ -132,13 +205,20 @@ def test_full_model_stripe_path_interpret(rng):
     x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
 
-    orig = pk.rdb_stripe_padded
+    orig1 = pk.rdb_stripe_padded
+    orig2 = pk.rdb_res_stripe_padded
 
-    def interp(xx, ws, bs, **kw):
+    def interp1(xx, ws, bs, **kw):
         kw["interpret"] = True
-        return orig(xx, ws, bs, **kw)
+        return orig1(xx, ws, bs, **kw)
 
-    with mock.patch.object(pk, "rdb_stripe_padded", interp):
+    def interp2(xx, x0, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig2(xx, x0, ws, bs, **kw)
+
+    with mock.patch.object(
+        pk, "rdb_stripe_padded", interp1
+    ), mock.patch.object(pk, "rdb_res_stripe_padded", interp2):
         out = np.asarray(_apply(params, x, spec.scale, stripe=True))
         pp = prepare_rrdbnet(params, "stripe", spec.num_feat, spec.num_grow_ch)
         out_prep = np.asarray(

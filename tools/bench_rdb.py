@@ -59,6 +59,7 @@ def bench(name, step, x, wargs, iters=6):
 
 
 def main():
+    global REPS
     modes = sys.argv[1:] or ["accum", "stripe:64"]
     spec = RRDBNetSpec(num_feat=NF, num_block=1, num_grow_ch=GC)
     params = init_rrdbnet(jax.random.PRNGKey(0), spec)
@@ -122,6 +123,46 @@ def main():
                 return lax.scan(body, x, None, length=REPS)[0]
 
             bench(mode, step, x, wb)
+
+        elif mode.startswith("rrdb"):
+            # rrdb:BH — whole-RRDB fused kernel in padded stripe form;
+            # REPS scans one RRDB (3 RDB-equivalents) per rep, normalized
+            # to ms/RDB-call for comparison
+            from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe_entry,
+                rrdb_stripe_padded,
+                unpad_stripe_exit,
+            )
+
+            bh = int(mode.split(":")[1]) if ":" in mode else 48
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws) * 3,
+                tuple(jnp.asarray(b) for b in bs) * 3,
+            )
+            nreps = -(-REPS // 3)
+
+            @jax.jit
+            def step(x, wb, bh=bh, nreps=nreps):
+                xp = pad_stripe_entry(x, block_h=bh, fused=True)
+
+                def body(hc, _):
+                    return (
+                        rrdb_stripe_padded(
+                            hc, wb[0], wb[1],
+                            frame_h=H, frame_w=W, block_h=bh,
+                        ),
+                        None,
+                    )
+
+                xp = lax.scan(body, xp, None, length=nreps)[0]
+                return unpad_stripe_exit(
+                    xp, H, W, NF, block_h=bh, fused=True
+                )
+
+            saved, REPS = REPS, nreps * 3
+            bench(mode, step, x, wb)
+            REPS = saved
 
         elif mode == "old64":
             from video_restore_tpu.ops.pallas_rdb import rdb_fused

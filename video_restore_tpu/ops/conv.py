@@ -43,6 +43,48 @@ def conv2d(
     return out.astype(x.dtype)
 
 
+def conv2d_small_cout(
+    x: jax.Array, w: jax.Array, b: jax.Array | None = None
+) -> jax.Array:
+    """3x3 SAME conv for tiny cout (e.g. the RGB output conv, cout=3).
+
+    A direct conv puts cout on the MXU's 128-lane N dimension: cout=3 is
+    2.3% occupancy — measured 4.6 TF/s on v5e for RRDBNet's conv_last at
+    4K (28.7ms/frame). Packing the 9 taps into N (a 1x1 conv to
+    9*cout partial channels, then 9 static shifted-slice adds over a
+    zero ring) lifts occupancy 9x; same math, summation reordered (the
+    partials round to the activation dtype before the final add).
+    """
+    kh, kw, cin, cout = w.shape
+    # (1,1,cin, kh*kw*cout): partial channel (dy*kw+dx)*cout + o
+    w1 = w.transpose(0, 1, 3, 2).reshape(1, 1, kh * kw * cout, cin)
+    w1 = w1.transpose(0, 1, 3, 2)
+    p = lax.conv_general_dilated(
+        x,
+        w1.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    hh, ww = x.shape[1], x.shape[2]
+    ry, rx = kh // 2, kw // 2
+    pp = jnp.pad(p, ((0, 0), (ry, ry), (rx, rx), (0, 0)))
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            c0 = (dy * kw + dx) * cout
+            # out[i,j] += p[i + dy - ry, j + dx - rx, tap]; zero ring
+            # supplies SAME-padding zeros
+            t = pp[
+                :, dy : dy + hh, dx : dx + ww, c0 : c0 + cout
+            ].astype(jnp.float32)
+            out = t if out is None else out + t
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
     """LeakyReLU with the ESRGAN slope of 0.2 (basicsr RRDB default)."""
     return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))

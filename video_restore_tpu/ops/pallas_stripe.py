@@ -39,6 +39,22 @@ columns {0, Wf-1}, outside the masked frame region.
 Input DMA is double-buffered across sequential grid steps (scratch slots
 persist between iterations with "arbitrary" dimension semantics); output
 write-back is pipelined by the standard Pallas output BlockSpec machinery.
+
+**Padded stripe form** (round-2 production path): the body's activations
+live in a (B, hp + 2*bh, Wf, 128) layout whose pad regions are exact
+zeros — pad_stripe_entry once before the 23-block scan, unpad_stripe_exit
+once after, and NO XLA op touches the array in between (an XLA pad before
+each of the 69 RDB calls measured 0.63ms each — a full rewrite of the
+52MB array — and the separate residual multiply-add another 0.59ms/block).
+Each kernel re-establishes the zero invariant through its masked
+full-width output block; the bh-row H halos are written as zero blocks by
+two extra grid steps through the same block-aligned output pipeline.
+
+**Whole-RRDB fusion** (rrdb_stripe_padded): the 3 RDBs of a block + the
+RRDB 0.2-residual run as one kernel; the per-stage halos telescope
+(stage k computes bh + 2*(3-k)*5 rows), so total compute matches three
+separate stripe kernels while the two intermediate HBM round-trips and
+the XLA residual op vanish.
 """
 
 from __future__ import annotations
@@ -123,6 +139,56 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
     return acc.astype(out_dt)
 
 
+def _rdb_stage(x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok):
+    """One full RDB on a window x (e, Wf, nf): 5 chained prefix-form convs
+    + the 0.2 residual, masked to the frame (exact SAME padding; zeros
+    outside). Window row 0 sits at frame row ``top`` (may be negative in a
+    fused chain). Returns (e-10, Wf, nf) in ``dt``; output row r is frame
+    row top + 5 + r."""
+    w0, w1, w2, w3, w4 = w5
+    b1, b2, b3, b4, b5_ = b5
+    g = gc
+
+    def grow(acc, k, bias):
+        """Extract c_k from the accumulator, mask to the frame, and cast
+        for the next conv. c_k row r <-> frame row top + k + r."""
+        e = acc.shape[0]
+        lo = nf + (4 - k) * g
+        ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
+        rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+        rowf = rows + (top + k)
+        ok = (rowf >= 0) & (rowf < h) & col_ok
+        return jnp.where(ok, ck, 0.0).astype(dt)
+
+    def add_prefix(acc, t):
+        # prefix update (Mosaic has no scatter-add; static slices + concat
+        # lower cleanly, and the offset-0 slice needs no lane shuffle)
+        cout = t.shape[-1]
+        return jnp.concatenate(
+            [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
+        )
+
+    acc = _conv_prefix(x, w0[:], acc_dt)  # (e-2, wf, 4g+nf)
+    c1 = grow(acc, 1, b1[0])
+    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
+    c2 = grow(acc, 2, b2[0])
+    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
+    c3 = grow(acc, 3, b3[0])
+    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
+    c4 = grow(acc, 4, b4[0])
+    c5 = (
+        acc[1:-1, :, :nf].astype(jnp.float32)
+        + _conv_prefix(c4, w4[:])
+        + b5_[0]
+    )
+    e = x.shape[0]
+    center = x[_HALO : e - _HALO, :, :].astype(jnp.float32)
+    rows = lax.broadcasted_iota(jnp.int32, (e - 2 * _HALO, 1, 1), 0)
+    rowf = rows + (top + _HALO)
+    ok = (rowf >= 0) & (rowf < h) & col_ok
+    return jnp.where(ok, center + 0.2 * c5, 0.0).astype(dt)
+
+
 def _rdb_stripe_kernel(
     xp_ref,  # (B, Hp, Wf, nf) in ANY/HBM — padded input
     w0, w1, w2, w3, w4,  # prefix-form weights (3, 3cin, cout), VMEM
@@ -192,68 +258,29 @@ def _rdb_stripe_kernel(
         x = xblk[m % 2][:, :, :nf]  # strip the 128-lane DMA padding
         dt = out_ref.dtype
         acc_dt = jnp.bfloat16 if acc_bf16 else jnp.float32
-        g = gc
 
         cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
         col_ok = (cols >= _PADL) & (cols < _PADL + w)
-        row0 = si * bh  # frame row of window row _HALO
-
-        def grow(acc, k, bias):
-            """Extract c_k from the accumulator, mask to the frame (exact
-            SAME padding), and cast for the next conv. c_k row r <-> frame
-            row row0 + r - (5 - k)."""
-            e = acc.shape[0]
-            lo = nf + (4 - k) * g
-            ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
-            rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
-            rowf = rows + (row0 - (_HALO - k))
-            ok = (rowf >= 0) & (rowf < h) & col_ok
-            return jnp.where(ok, ck, 0.0).astype(dt)
-
-        def add_prefix(acc, t):
-            # prefix update (Mosaic has no scatter-add; static slices +
-            # concat lower cleanly, and the offset-0 slice needs no lane
-            # shuffle)
-            cout = t.shape[-1]
-            return jnp.concatenate(
-                [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
-            )
-
-        acc = _conv_prefix(x, w0[:], acc_dt)  # (he-2, wf, 4g+nf)
-        c1 = grow(acc, 1, b1[0])
-        acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
-        c2 = grow(acc, 2, b2[0])
-        acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
-        c3 = grow(acc, 3, b3[0])
-        acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
-        c4 = grow(acc, 4, b4[0])
-        c5 = (
-            acc[1:-1, :, :nf].astype(jnp.float32)
-            + _conv_prefix(c4, w4[:])
-            + b5[0]
+        out = _rdb_stage(
+            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            si * bh - _HALO,
+            h=h, w=w, wf=wf, nf=nf, gc=gc, dt=dt, acc_dt=acc_dt,
+            col_ok=col_ok,
         )
         if padded_out:
-            # full-width output, zeroed outside the frame: the next RDB
-            # (or the RRDB residual) consumes this buffer directly as its
-            # padded input, so the W-pad columns and the H-alignment rows
-            # must be exact zeros (they feed the next conv's SAME
-            # padding). Channel pad lanes are zeroed too: the padded form
-            # flows through the block residual.
-            center = x[_HALO : _HALO + bh, :, :].astype(jnp.float32)
-            rows = lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
-            ok = ((rows + si * bh) < h) & col_ok
-            out = jnp.where(ok, center + 0.2 * c5, 0.0).astype(dt)
+            # full-width output, zeroed outside the frame (by the stage's
+            # mask): the next RDB (or the RRDB residual) consumes this
+            # buffer directly as its padded input, so the W-pad columns
+            # and the H-alignment rows must be exact zeros (they feed the
+            # next conv's SAME padding). Channel pad lanes are zeroed too:
+            # the padded form flows through the block residual.
             if cpad:
                 out = jnp.concatenate(
                     [out, jnp.zeros((bh, wf, cpad), dt)], axis=2
                 )
             out_ref[0] = out
         else:
-            center = x[_HALO : _HALO + bh, _PADL : _PADL + w, :].astype(
-                jnp.float32
-            )
-            out = center + 0.2 * c5[:, _PADL : _PADL + w, :]
-            out_ref[0] = out.astype(dt)
+            out_ref[0] = out[:, _PADL : _PADL + w, :]
 
     if padded_out:
         @pl.when(is_halo)
@@ -267,12 +294,21 @@ def _rdb_stripe_kernel(
 
 # Measured VMEM anchor (v5e, 128MB): bh=64 at wf=520 compiles (~115MB with
 # double-buffered in/out windows + fp32 accumulator); bh=96 at wf=520 needs
-# 163MB. Clamp the stripe so (bh + 2*_HALO) * wf stays under the anchor.
+# 163MB. Clamp the stripe so (rows-in-flight) * wf stays under the anchor.
+# The fused 3-RDB kernel's first stage holds bh + 28 accumulator rows, so
+# its anchor counts the full telescoped halo.
 _VMEM_ROWS_WF = 74 * 520
+_VMEM_ROWS_WF3 = 78 * 520
 
 
-def _pick_bh(h: int, wf: int, prefer: Tuple[int, ...] = (64, 48, 32, 16)) -> int:
-    fits = [c for c in prefer if (c + 2 * _HALO) * wf <= _VMEM_ROWS_WF]
+def _pick_bh(
+    h: int,
+    wf: int,
+    prefer: Tuple[int, ...] = (64, 48, 32, 16),
+    halo: int = 5,
+    anchor: int = _VMEM_ROWS_WF,
+) -> int:
+    fits = [c for c in prefer if (c + 2 * halo) * wf <= anchor]
     if not fits:
         return prefer[-1]
     for cand in fits:  # prefer a divisor (no padded rows)
@@ -281,18 +317,29 @@ def _pick_bh(h: int, wf: int, prefer: Tuple[int, ...] = (64, 48, 32, 16)) -> int
     return fits[0]  # pad to a multiple
 
 
-def _geometry(h: int, w: int, nf: int, block_h: int | None):
+def _geometry(
+    h: int, w: int, nf: int, block_h: int | None, fused: bool = False
+):
     """Shared padded-form geometry: (wf, cpad, bh, hp)."""
     wf = _PADL + w + _PADL
     wf += (8 - wf % 8) % 8
     cpad = (128 - nf % 128) % 128
-    bh = block_h if block_h is not None else _pick_bh(h, wf)
+    if block_h is not None:
+        bh = block_h
+    elif fused:
+        bh = _pick_bh(
+            h, wf, prefer=(48, 32, 16), halo=_HALO3, anchor=_VMEM_ROWS_WF3
+        )
+    else:
+        bh = _pick_bh(h, wf)
     hp = h + (bh - h % bh) % bh
     return wf, cpad, bh, hp
 
 
-@functools.partial(jax.jit, static_argnames=("block_h",))
-def pad_stripe_entry(x: jax.Array, block_h: int | None = None) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("block_h", "fused"))
+def pad_stripe_entry(
+    x: jax.Array, block_h: int | None = None, fused: bool = False
+) -> jax.Array:
     """(B, h, w, nf) -> padded stripe form (B, hp + 2*bh, Wf, nf+cpad).
 
     One-time entry pad for a chain of ``rdb_stripe_padded`` calls: all pad
@@ -304,7 +351,7 @@ def pad_stripe_entry(x: jax.Array, block_h: int | None = None) -> jax.Array:
     write it through the block-aligned output pipeline.
     """
     b, h, w, nf = x.shape
-    wf, cpad, bh, hp = _geometry(h, w, nf, block_h)
+    wf, cpad, bh, hp = _geometry(h, w, nf, block_h, fused=fused)
     return jnp.pad(
         x,
         (
@@ -317,10 +364,15 @@ def pad_stripe_entry(x: jax.Array, block_h: int | None = None) -> jax.Array:
 
 
 def unpad_stripe_exit(
-    xp: jax.Array, h: int, w: int, nf: int, block_h: int | None = None
+    xp: jax.Array,
+    h: int,
+    w: int,
+    nf: int,
+    block_h: int | None = None,
+    fused: bool = False,
 ) -> jax.Array:
     """Inverse of pad_stripe_entry (any hp)."""
-    wf, _, bh, _ = _geometry(h, w, nf, block_h)
+    wf, _, bh, _ = _geometry(h, w, nf, block_h, fused=fused)
     return xp[:, bh : bh + h, _PADL : _PADL + w, :nf]
 
 
@@ -388,6 +440,290 @@ def rdb_stripe_padded(
         ),
         interpret=interpret,
     )(xp, *wlist, *bias3)
+
+
+_HALO3 = 3 * _HALO  # telescoped halo of the 3-RDB fused chain
+
+
+def _rrdb_stripe_kernel(
+    xp_ref,  # (B, hp + 2*bh, Wf, nfp) in ANY/HBM — padded stripe form
+    *refs,  # 15 weight refs, 15 bias refs, out_ref, xblk, sem
+    bh: int,
+    h: int,
+    w: int,
+    wf: int,
+    nf: int,
+    gc: int,
+    nstripes: int,
+    nb: int,
+    cpad: int,
+):
+    """Whole-RRDB fused stripe kernel: 3 chained RDB stages + the RRDB
+    0.2-residual in one program. The halos telescope (the stage for RDB k
+    computes bh + 2*(3-k)*_HALO rows), so total compute equals three
+    separate stripe kernels at the same bh — but the two intermediate
+    HBM round-trips vanish and the block residual is free (the input
+    stripe is already in VMEM). Replaces the separate XLA residual
+    multiply-add, which measured 0.59ms/block on the padded 68MB arrays
+    (82ms/frame on the flagship shape)."""
+    ws = refs[0:15]  # rdb-major: ws[5*r + k]
+    bs = refs[15:30]
+    out_ref = refs[30]
+    xblk = refs[31]
+    sem = refs[32]
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    si = gi - 1
+    is_halo = (gi == 0) | (gi == nstripes + 1)
+    m = bi * nstripes + jnp.clip(si, 0, nstripes - 1)
+    he = bh + 2 * _HALO3
+    row_off = bh - _HALO3  # window start: frame row si*bh - _HALO3
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((bi == 0) & (gi == 0))
+    def _():
+        dma(0, 0).start()
+
+    def compute():
+        @pl.when(m + 1 < nb * nstripes)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
+
+        dma(m % 2, m).wait()
+        x = xblk[m % 2][:, :, :nf]
+        dt = out_ref.dtype
+        cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
+        col_ok = (cols >= _PADL) & (cols < _PADL + w)
+
+        t = x
+        top = si * bh - _HALO3
+        for r in range(3):
+            t = _rdb_stage(
+                t, ws[5 * r : 5 * r + 5], bs[5 * r : 5 * r + 5], top,
+                h=h, w=w, wf=wf, nf=nf, gc=gc, dt=dt,
+                acc_dt=jnp.float32, col_ok=col_ok,
+            )
+            top += _HALO
+        # RRDB residual; both terms are exact zeros outside the frame, so
+        # the padded-form invariant holds without further masking
+        x0c = x[_HALO3 : _HALO3 + bh, :, :].astype(jnp.float32)
+        out = (x0c + 0.2 * t.astype(jnp.float32)).astype(dt)
+        if cpad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((bh, wf, cpad), dt)], axis=2
+            )
+        out_ref[0] = out
+
+    @pl.when(is_halo)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    pl.when(~is_halo)(compute)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_h", "frame_w", "block_h", "interpret"),
+)
+def rrdb_stripe_padded(
+    xp: jax.Array,
+    ws: Sequence[jax.Array],  # 15 prefix-form weights, rdb-major
+    bs: Sequence[jax.Array],  # 15 biases, rdb-major
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole RRDB (3 fused RDBs + residual) in padded stripe form:
+    (B, hp+2*bh, Wf, nfp) -> same shape, chainable across the 23-block
+    body with zero XLA ops in between."""
+    b, hp2, wf_in, nfp = xp.shape
+    nf = ws[0].shape[-2] // 3
+    gc = ws[1].shape[-2] // 3
+    wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h, fused=True)
+    if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
+        raise ValueError(
+            f"padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wf, nf + cpad)})"
+        )
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+    nstripes = hp // bh
+
+    kernel = functools.partial(
+        _rrdb_stripe_kernel,
+        bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, gc=gc,
+        nstripes=nstripes, nb=b, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nstripes + 2),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 30,
+        out_specs=pl.BlockSpec(
+            (1, bh, wf, nf + cpad), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wf, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2 * _HALO3, wf, nf + cpad), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, *wlist, *bias3)
+
+
+def _rdb_res_stripe_kernel(
+    xp_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — rdb2 output, padded form
+    x0_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — block input, ALIASED to out
+    w0, w1, w2, w3, w4,
+    b1, b2, b3, b4, b5,
+    out_ref,  # (1, bh, Wf, nfp) VMEM block at row-block si+1
+    xblk,  # (2, bh + 2*_HALO, Wf, nfp) input double-buffer
+    x0blk,  # (1, bh, Wf, nfp) residual-source slot
+    sem,  # DMA semaphores (2,)
+    sem0,  # residual DMA semaphore (1,)
+    *,
+    bh: int,
+    h: int,
+    w: int,
+    wf: int,
+    nf: int,
+    gc: int,
+    nstripes: int,
+    nb: int,
+    cpad: int,
+):
+    """rdb3 + the RRDB 0.2-residual in one kernel. The output buffer is
+    the block-input buffer (input_output_aliases): only body row-blocks
+    are written, so the pad-zero invariant is inherited rather than
+    re-written — no halo grid steps. Replaces the separate XLA residual
+    multiply-add (0.59ms/block on the 68MB padded arrays, 82ms/frame).
+    The x0 stripe DMA is issued at program start and waited only in the
+    epilogue, hidden under ~1ms of conv compute."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh + 2 * _HALO
+    row_off = bh - _HALO
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    dma0 = pltpu.make_async_copy(
+        x0_ref.at[bi, pl.ds(bh + si * bh, bh)], x0blk, sem0.at[0]
+    )
+    dma0.start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    x = xblk[m % 2][:, :, :nf]
+    dt = out_ref.dtype
+    cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
+    col_ok = (cols >= _PADL) & (cols < _PADL + w)
+    t = _rdb_stage(
+        x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+        si * bh - _HALO,
+        h=h, w=w, wf=wf, nf=nf, gc=gc, dt=dt, acc_dt=jnp.float32,
+        col_ok=col_ok,
+    )
+    dma0.wait()
+    x0c = x0blk[:, :, :nf].astype(jnp.float32)
+    out = (x0c + 0.2 * t.astype(jnp.float32)).astype(dt)
+    if cpad:
+        out = jnp.concatenate([out, jnp.zeros((bh, wf, cpad), dt)], axis=2)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_h", "frame_w", "block_h", "interpret"),
+)
+def rdb_res_stripe_padded(
+    xp: jax.Array,
+    x0: jax.Array,
+    ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """rdb3 + RRDB residual in padded stripe form: returns
+    x0 + 0.2 * rdb(xp), same padded shape, chainable. ``x0`` (the block
+    input) is donated — its buffer becomes the output."""
+    b, hp2, wf_in, nfp = xp.shape
+    nf = ws[0].shape[-2] // 3
+    gc = ws[1].shape[-2] // 3
+    wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h)
+    if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
+        raise ValueError(
+            f"padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wf, nf + cpad)})"
+        )
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+    nstripes = hp // bh
+
+    kernel = functools.partial(
+        _rdb_res_stripe_kernel,
+        bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, gc=gc,
+        nstripes=nstripes, nb=b, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(
+            (1, bh, wf, nf + cpad), lambda bb, i: (bb, i + 1, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wf, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2 * _HALO, wf, nf + cpad), xp.dtype),
+            pltpu.VMEM((bh, wf, nf + cpad), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, x0, *wlist, *bias3)
 
 
 @functools.partial(
