@@ -26,6 +26,7 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict
 
@@ -531,16 +532,15 @@ def _apply(
             upconv2x(feat, params["conv_up2"]["w"], params["conv_up2"]["b"])
         )
     feat = leaky_relu(conv2d(feat, params["conv_hr"]["w"], params["conv_hr"]["b"]))
-    if naive:
-        return conv2d(
+    if not naive and os.environ.get("VRT_PACKED_LAST") == "1":
+        # cout=3 at 4K runs the MXU at 2.3% lane occupancy (4.6 TF/s,
+        # 28.7ms/frame measured) — but on v5e the packed form's win is
+        # eaten by relayout copies around the tail's 5-D conv_transpose
+        # layout (31ms/frame of copies measured), so it stays opt-in
+        return conv2d_small_cout(
             feat, params["conv_last"]["w"], params["conv_last"]["b"]
         )
-    # cout=3 at 4K runs the MXU at 2.3% lane occupancy through a direct
-    # conv (measured 4.6 TF/s / 28.7ms per frame on v5e); the tap-packed
-    # form lifts it ~9x
-    return conv2d_small_cout(
-        feat, params["conv_last"]["w"], params["conv_last"]["b"]
-    )
+    return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
 
 
 def default_use_accum() -> bool:
