@@ -85,3 +85,35 @@ def test_pipeline_with_face_enhance(tmp_path, tiny_frames):
     dst = tmp_path / "out.npz"
     assert r.process_video(src, dst, show_progress=False)
     assert probe(dst).frames == 4
+
+
+def test_restore_faces_learned_crop_paste():
+    """Learned-path crop/paste machinery with a stub restorer: only the
+    feathered face regions change, and strength=0 is a no-op."""
+    import numpy as np
+
+    from video_restore_tpu.ops.faces import FaceBox, restore_faces_learned
+
+    frame = np.full((256, 256, 3), 100, np.uint8)
+    boxes = [FaceBox(20, 24, 32, 32)]
+
+    def runner(crops):
+        assert crops.shape[1:] == (512, 512, 3)
+        assert crops.dtype == np.float32
+        return np.ones_like(crops)  # restore to pure white
+
+    out = restore_faces_learned(frame, boxes, scale=2, runner=runner,
+                                strength=1.0)
+    assert out.shape == frame.shape
+    # face centre (LR box scaled 2x -> centred near (72, 80)) brightened
+    assert out[80, 72].mean() > 200
+    # far corner untouched
+    assert (out[250, 250] == 100).all()
+
+    same = restore_faces_learned(frame, boxes, scale=2, runner=runner,
+                                 strength=0.0)
+    assert (same == frame).all()
+
+    # no boxes / no runner -> identity
+    assert restore_faces_learned(frame, [], 2, runner) is frame
+    assert restore_faces_learned(frame, boxes, 2, None) is frame

@@ -72,6 +72,10 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
                         "fixed 5/25/25 filter)")
     p.add_argument("--sharpen", type=float, default=None, metavar="0..1",
                    help="unsharp-mask strength")
+    p.add_argument("--face-model", default="auto",
+                   choices=["auto", "gfpgan", "regions"],
+                   help="face restorer: GFPGAN v1-clean prior (needs "
+                        "downloadable weights) or the region heuristic")
     p.add_argument("--face-enhance", action="store_true",
                    help="detect and enhance face regions (README.md:3 "
                         "advertises GFPGAN; this is a detection+region-"
@@ -145,6 +149,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         dither=args.dither,
         anime_mode=args.anime_mode,
         face_enhance=args.face_enhance,
+        face_model=args.face_model,
         video_codec=args.vformat or "h264",
         crf=crf,
         preset=preset,

@@ -83,6 +83,9 @@ class RestoreConfig:
     anime_mode: bool = False  # README.md:161; selects anime model + tuned post
     face_enhance: bool = False  # face-region enhancement (README.md:3 gap)
     face_strength: float = 0.5
+    # "auto": GFPGAN prior when weights are available, else the region
+    # heuristic; "gfpgan": require the prior; "regions": heuristic only
+    face_model: str = "auto"
 
     # --- output encoding (video_upscaler.py:127-131) ---
     output_format: str = "mp4"

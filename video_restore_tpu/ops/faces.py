@@ -188,3 +188,90 @@ def enhance_face_regions(
             blended, 0, 255
         ).astype(np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# learned face restoration (GFPGAN v1-clean prior)
+# ---------------------------------------------------------------------------
+
+
+def make_gfpgan_runner(models_dir=None, name: str = "GFPGANv1.4"):
+    """Load the GFPGAN prior and return a jitted crop-restorer, or None
+    if weights are unavailable (callers fall back to the region
+    heuristic). The runner maps (N, 512, 512, 3) float32 [0,1] crops to
+    restored crops; N is bucketed to limit recompiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_restore_tpu.models.gfpgan import apply_gfpgan, load_gfpgan
+
+    try:
+        params, spec = load_gfpgan(models_dir, name)
+    except Exception:
+        return None
+
+    jitted = jax.jit(lambda p, x: apply_gfpgan(p, x, spec))
+
+    def run(crops: np.ndarray) -> np.ndarray:
+        n = crops.shape[0]
+        bucket = 1 << max(0, (n - 1).bit_length())  # 1,2,4,8…
+        padded = np.zeros((bucket,) + crops.shape[1:], np.float32)
+        padded[:n] = crops
+        out = np.asarray(jitted(params, jnp.asarray(padded)))
+        return out[:n]
+
+    return run
+
+
+def restore_faces_learned(
+    hr_frame: np.ndarray,
+    faces_lr: List[FaceBox],
+    scale: int,
+    runner,
+    strength: float = 0.5,
+) -> np.ndarray:
+    """Restore each detected face with the GFPGAN prior and feather it
+    back. hr_frame: (H, W, 3) uint8 RGB; faces_lr: LR-coordinate boxes;
+    ``strength`` blends restored vs original inside the crop (GFPGAN's
+    `weight`): 0 = untouched, 1 = fully restored."""
+    if not faces_lr or runner is None:
+        return hr_frame
+    import cv2
+
+    hh, ww = hr_frame.shape[:2]
+    boxes = []
+    for box in faces_lr:
+        b = box.scaled(scale)
+        # square crop with margin, GFPGAN-style loose alignment
+        side = int(max(b.w, b.h) * 1.6)
+        cx, cy = b.x + b.w // 2, b.y + b.h // 2
+        x0 = max(0, min(cx - side // 2, ww - side))
+        y0 = max(0, min(cy - side // 2, hh - side))
+        side = min(side, ww - x0, hh - y0)
+        if side >= 32:
+            boxes.append((x0, y0, side))
+    if not boxes:
+        return hr_frame
+
+    crops = np.stack([
+        cv2.resize(
+            hr_frame[y0 : y0 + s, x0 : x0 + s],
+            (512, 512), interpolation=cv2.INTER_LINEAR,
+        ).astype(np.float32) / 255.0
+        for x0, y0, s in boxes
+    ])
+    restored = runner(crops)
+
+    out = hr_frame.copy()
+    for (x0, y0, s), rest in zip(boxes, restored):
+        back = cv2.resize(
+            (np.clip(rest, 0.0, 1.0) * 255.0).astype(np.uint8), (s, s),
+            interpolation=cv2.INTER_LINEAR,
+        ).astype(np.float32)
+        region = out[y0 : y0 + s, x0 : x0 + s].astype(np.float32)
+        m = _feather_mask(s, s)[..., None] * strength
+        blended = back * m + region * (1.0 - m)
+        out[y0 : y0 + s, x0 : x0 + s] = np.clip(blended, 0, 255).astype(
+            np.uint8
+        )
+    return out

@@ -335,6 +335,7 @@ class VideoRestorer:
         # serializing the dispatch loop (round-1 review, weak item #6;
         # cv2/numpy release the GIL for the heavy parts).
         face_pool = None
+        face_runner = None
         if face_cfg:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -342,6 +343,22 @@ class VideoRestorer:
                 max_workers=min(8, os.cpu_count() or 4),
                 thread_name_prefix="faces",
             )
+            if cfg.face_model in ("auto", "gfpgan"):
+                from video_restore_tpu.ops.faces import make_gfpgan_runner
+
+                face_runner = make_gfpgan_runner()
+                if face_runner is not None:
+                    log.info("face restorer: GFPGAN v1-clean prior")
+                elif cfg.face_model == "gfpgan":
+                    raise RuntimeError(
+                        "--face-model gfpgan requires the GFPGANv1.4 "
+                        "weights (no download possible and no cached file)"
+                    )
+                else:
+                    log.info(
+                        "face restorer: region heuristic (GFPGAN weights "
+                        "unavailable)"
+                    )
 
         def detect_batch_faces(frames):
             if not face_cfg:
@@ -354,6 +371,12 @@ class VideoRestorer:
             f, boxes = args
             if not boxes:
                 return f
+            if face_runner is not None:
+                from video_restore_tpu.ops.faces import restore_faces_learned
+
+                return restore_faces_learned(
+                    f, boxes, scale, face_runner, cfg.face_strength
+                )
             from video_restore_tpu.ops.faces import enhance_face_regions
 
             return enhance_face_regions(f, boxes, scale, cfg.face_strength)
