@@ -64,6 +64,14 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--batch", action="store_true",
                    help="process a directory of videos")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a jax.distributed multi-host runtime and "
+                        "shard --batch videos across hosts (coordinator "
+                        "from --coordinator or JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID; auto on TPU "
+                        "pods)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multihost coordinator address")
     # advertised-but-unimplemented reference features (SURVEY.md §2.5)
     p.add_argument("--anime-mode", action="store_true",
                    help="anime-tuned model + post settings (README.md:161)")
@@ -190,6 +198,14 @@ def main(argv=None) -> int:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
+    if args.multihost:
+        from video_restore_tpu.parallel.multihost import init_multihost
+
+        try:
+            init_multihost(args.coordinator)
+        except Exception as e:
+            log.error("multihost init failed: %s", e)
+            return 1
     try:
         config = config_from_args(args)
     except ValueError as e:

@@ -28,7 +28,26 @@ def frame_mesh(
     data_axis: str = "data",
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D mesh over which the frame batch axis is sharded."""
-    devs = list(devices) if devices is not None else jax.devices()
-    n = device_count(n_devices) if devices is None else len(devs)
+    """1-D mesh over which the frame batch axis is sharded.
+
+    Under a multi-process runtime (jax.distributed initialized, e.g.
+    --multihost batch mode) this is a mesh over the LOCAL devices only:
+    batch mode shards *videos* across processes, so the per-video
+    program must not span hosts — a global mesh would make each host's
+    (different!) video a mismatched cross-host collective.
+    """
+    if devices is not None:
+        devs = list(devices)
+        n = len(devs)
+    else:
+        devs = (
+            jax.local_devices()
+            if jax.process_count() > 1
+            else jax.devices()
+        )
+        n = len(devs) if n_devices <= 0 else n_devices
+        if n > len(devs):
+            raise RuntimeError(
+                f"Requested {n} devices but only {len(devs)} available"
+            )
     return Mesh(np.array(devs[:n]), axis_names=(data_axis,))

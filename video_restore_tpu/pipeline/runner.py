@@ -614,10 +614,36 @@ class VideoRestorer:
         )
         outdir = Path(output_dir)
         outdir.mkdir(parents=True, exist_ok=True)
+
+        # multi-host batch: after jax.distributed.initialize (CLI
+        # --multihost or env), every process sees the same sorted listing
+        # and takes its round-robin share; success counts are aggregated
+        # with one DCN allgather so each host reports the GLOBAL result
+        import jax
+
+        multihost = jax.process_count() > 1
+        mine = videos
+        if multihost:
+            from video_restore_tpu.parallel.multihost import shard_items
+
+            mine = shard_items(videos)
+            log.info(
+                "[batch] multihost: process %d/%d takes %d of %d videos",
+                jax.process_index(), jax.process_count(),
+                len(mine), len(videos),
+            )
         ok = 0
-        for v in videos:
+        for v in mine:
             out = outdir / f"{v.stem}_upscaled{v.suffix}"
             log.info("[batch] %s -> %s", v.name, out.name)
             if self.process_video(v, out, show_progress=show_progress):
                 ok += 1
+        if multihost:
+            from video_restore_tpu.parallel.multihost import (
+                allgather_counts,
+            )
+
+            rows = allgather_counts([ok, len(mine)])
+            ok = sum(r[0] for r in rows)
+            assert sum(r[1] for r in rows) == len(videos)
         return ok, len(videos)
