@@ -41,6 +41,7 @@ from video_restore_tpu.ops.conv import (
     pixel_shuffle,
     pixel_unshuffle,
     upconv2x,
+    upconv2x_phase,
     upsample_nearest,
 )
 
