@@ -1,4 +1,14 @@
-import sys; sys.path.insert(0, "/root/repo")
+"""Capture a jax.profiler device trace of the flagship enhanced step
+(bench.py's exact program) into /tmp/tr; summarize with
+tools/analyze_trace.py. Run from the repo root:
+
+    PYTHONPATH=/root/.axon_site:. python tools/profile_flagship.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os, time, json
 import numpy as np
 import jax
