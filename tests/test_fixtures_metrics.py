@@ -123,3 +123,55 @@ def test_presets_without_ffmpeg_unchanged(tiny_frames):
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_msssim_properties(rng):
+    from video_restore_tpu.metrics import frame_msssim
+
+    base = (rng.random((192, 256, 3)) * 255).astype(np.uint8)
+    assert frame_msssim(base, base) == pytest.approx(1.0, abs=1e-9)
+
+    light = np.clip(
+        base.astype(np.int16) + rng.integers(-8, 8, base.shape), 0, 255
+    ).astype(np.uint8)
+    heavy = np.clip(
+        base.astype(np.int16) + rng.integers(-80, 80, base.shape), 0, 255
+    ).astype(np.uint8)
+    ms_light = frame_msssim(base, light)
+    ms_heavy = frame_msssim(base, heavy)
+    assert 0.0 < ms_heavy < ms_light < 1.0
+
+
+def test_msssim_small_image_fallback(rng):
+    """Images too small for all 5 dyadic scales renormalize the
+    exponents instead of crashing."""
+    from video_restore_tpu.metrics import frame_msssim
+
+    a = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    b = np.clip(
+        a.astype(np.int16) + rng.integers(-20, 20, a.shape), 0, 255
+    ).astype(np.uint8)
+    v = frame_msssim(a, b)
+    assert 0.0 < v <= 1.0
+    assert frame_msssim(a, a) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_compare_videos_msssim(tmp_path, rng):
+    import numpy as np
+
+    from video_restore_tpu.metrics import compare_videos
+    from video_restore_tpu.video.y4m import Y4MWriter
+
+    a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+    frames = (rng.random((3, 64, 96, 3)) * 255).astype(np.uint8)
+    for path, jitter in ((a, 0), (b, 6)):
+        with Y4MWriter(str(path), 96, 64, 25) as wr:
+            for f in frames:
+                g = np.clip(
+                    f.astype(np.int16)
+                    + rng.integers(-jitter, jitter + 1, f.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                wr.write(g)
+    res = compare_videos(str(a), str(b), msssim=True)
+    assert "msssim_mean" in res and 0.0 < res["msssim_mean"] <= 1.0

@@ -49,14 +49,64 @@ def frame_ssim(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.mean(num / den))
 
 
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def frame_msssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Multi-scale SSIM (Wang et al. 2003), 5 dyadic scales with the
+    published weights — the weight-free perceptual metric (an LPIPS-class
+    learned metric needs pretrained VGG weights, unreachable here).
+    Contrast/structure terms at every scale, luminance at the coarsest;
+    2x average-pool between scales."""
+    from scipy.ndimage import gaussian_filter
+
+    def lum(x):
+        x = x.astype(np.float64) / 255.0
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    def pool2(im):
+        h2, w2 = im.shape[0] // 2, im.shape[1] // 2
+        return im[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean((1, 3))
+
+    x, y = lum(a), lum(b)
+    sig, trunc = 1.5, 3.5 / 1.5
+    c1, c2 = 0.01**2, 0.03**2
+    vals = []
+    for lvl, wgt in enumerate(_MSSSIM_WEIGHTS):
+        if min(x.shape) < 11:
+            # image exhausted before 5 scales: renormalize what we have
+            total = sum(_MSSSIM_WEIGHTS[lvl:])
+            vals = [v ** (1.0 / (1.0 - total)) for v in vals]
+            break
+        f = lambda im: gaussian_filter(
+            im, sig, truncate=trunc, mode="nearest"
+        )
+        mu_x, mu_y = f(x), f(y)
+        sxx = f(x * x) - mu_x * mu_x
+        syy = f(y * y) - mu_y * mu_y
+        sxy = f(x * y) - mu_x * mu_y
+        cs = np.mean((2 * sxy + c2) / (sxx + syy + c2))
+        if lvl == len(_MSSSIM_WEIGHTS) - 1:
+            l_term = np.mean(
+                (2 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1)
+            )
+            vals.append(np.abs(l_term * cs) ** wgt)
+        else:
+            vals.append(np.abs(cs) ** wgt)
+            x, y = pool2(x), pool2(y)
+    return float(np.prod(vals))
+
+
 def compare_videos(
     ref_path: str,
     test_path: str,
     max_frames: int = 0,
     ssim_every: int = 1,
+    msssim: bool = False,
 ) -> Dict[str, float]:
-    """Frame-aligned PSNR/SSIM. Raises if dimensions or counts mismatch."""
-    psnrs, ssims = [], []
+    """Frame-aligned PSNR/SSIM (and MS-SSIM with ``msssim=True``).
+    Raises if dimensions or counts mismatch."""
+    psnrs, ssims, msssims = [], [], []
     with open_reader(ref_path) as ra, open_reader(test_path) as rb:
         for i, (fa, fb) in enumerate(zip(ra, rb)):
             if max_frames and i >= max_frames:
@@ -68,16 +118,22 @@ def compare_videos(
             psnrs.append(frame_psnr(fa, fb))
             if i % ssim_every == 0:
                 ssims.append(frame_ssim(fa, fb))
+                if msssim:
+                    msssims.append(frame_msssim(fa, fb))
     if not psnrs:
         raise ValueError("no overlapping frames")
     finite = [p for p in psnrs if np.isfinite(p)]
-    return {
+    out = {
         "frames": len(psnrs),
         "psnr_mean": float(np.mean(finite)) if finite else float("inf"),
         "psnr_min": float(np.min(finite)) if finite else float("inf"),
         "ssim_mean": float(np.mean(ssims)),
         "ssim_min": float(np.min(ssims)),
     }
+    if msssims:
+        out["msssim_mean"] = float(np.mean(msssims))
+        out["msssim_min"] = float(np.min(msssims))
+    return out
 
 
 def main(argv=None) -> int:
@@ -86,9 +142,12 @@ def main(argv=None) -> int:
     ap.add_argument("test")
     ap.add_argument("--frames", type=int, default=0, help="limit frames")
     ap.add_argument("--ssim-every", type=int, default=1)
+    ap.add_argument("--msssim", action="store_true",
+                    help="also compute multi-scale SSIM")
     args = ap.parse_args(argv)
     result = compare_videos(
-        args.reference, args.test, args.frames, args.ssim_every
+        args.reference, args.test, args.frames, args.ssim_every,
+        msssim=args.msssim,
     )
     print(json.dumps(result))
     return 0
