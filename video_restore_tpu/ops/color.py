@@ -92,9 +92,16 @@ def rgb_to_yuv420_planar(rgb: jax.Array, dither: bool = False) -> jax.Array:
     else:
         yq = jnp.round(16.0 + 219.0 * y)
     yq = jnp.clip(yq, 16, 235).astype(jnp.uint8)
-    # 2x2 chroma average in float, then quantize (matches the host path)
-    uq = u.reshape(b_, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-    vq = v.reshape(b_, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    # 2x2 chroma average in float, then quantize (matches the host path).
+    # Strided-slice adds, NOT a reshape to (..., W/2, 2): a trailing-2
+    # minor dim in the TPU (8,128) tiling pads 64x — the reshape form
+    # allocated 2 x 7.9GB of HBM padding at 4K and OOM'd the compile.
+    def pool2(p):
+        rows = (p[:, 0::2, :] + p[:, 1::2, :]) * 0.5
+        return (rows[:, :, 0::2] + rows[:, :, 1::2]) * 0.5
+
+    uq = pool2(u)
+    vq = pool2(v)
     uq = jnp.clip(jnp.round(128.0 + 224.0 * uq), 16, 240).astype(jnp.uint8)
     vq = jnp.clip(jnp.round(128.0 + 224.0 * vq), 16, 240).astype(jnp.uint8)
     # planar packing: Y rows, then U ((H/2, W/2) -> (H/4, W)), then V

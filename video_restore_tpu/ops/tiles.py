@@ -273,7 +273,15 @@ def _blend_tiles(out_tiles: jax.Array, grid: TileGrid) -> jax.Array:
 
     nr = grid.rows.norm(s, grid.mode, grid.halo, grid.overlap)
     nc = grid.cols.norm(s, grid.mode, grid.halo, grid.overlap)
-    norm = jnp.asarray(nr[:, None] * nc[None, :], jnp.float32)[None, :, :, None]
+    # form the separable normalization field ON DEVICE from its two 1-D
+    # factors: the numpy outer product embedded a full-4K-frame f32 dense
+    # literal in every program (265MB of MLIR text — large enough to OOM
+    # the AOT compile helper); two 1-D constants are a few KB and the
+    # broadcast multiply is bit-identical
+    norm = (
+        jnp.asarray(nr, jnp.float32)[:, None]
+        * jnp.asarray(nc, jnp.float32)[None, :]
+    )[None, :, :, None]
     canvas = canvas / norm
     top, left = grid.rows.lead * s, grid.cols.lead * s
     return canvas[
