@@ -1,0 +1,76 @@
+"""Fused SRVGG conv+PReLU stripe kernel (ops/pallas_srvgg.py) vs the XLA
+scan path — interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from unittest import mock
+
+from video_restore_tpu.models.srvgg import (
+    SRVGGSpec,
+    _apply,
+    apply_srvgg,
+    init_srvgg,
+)
+
+
+def test_srvgg_stripe_kernel_parity(rng):
+    """Direct kernel: 4 chained conv+PReLU == the naive chain, pad-zero
+    invariant held."""
+    from video_restore_tpu.ops.conv import conv2d, prelu
+    from video_restore_tpu.ops.pallas_srvgg import (
+        fold_dy,
+        srvgg_stripe_padded,
+    )
+    from video_restore_tpu.ops.pallas_stripe import (
+        _PADL,
+        pad_stripe_entry,
+        unpad_stripe_exit,
+    )
+
+    nf, g, bh = 16, 4, 32
+    b, h, w = 2, 56, 40
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ws = jnp.asarray((rng.random((g, 3, 3, nf, nf)) - 0.5) * 0.3,
+                     jnp.float32)
+    bs = jnp.asarray(rng.random((g, nf)) * 0.1, jnp.float32)
+    al = jnp.asarray(rng.random((g, nf)) * 0.5, jnp.float32)
+
+    ref = x
+    for i in range(g):
+        ref = prelu(conv2d(ref, ws[i], bs[i]), al[i])
+
+    xp = pad_stripe_entry(x, block_h=bh)
+    o = srvgg_stripe_padded(
+        xp, fold_dy(ws), bs, al, frame_h=h, frame_w=w, group=g,
+        block_h=bh, interpret=True,
+    )
+    out = unpad_stripe_exit(o, h, w, nf, block_h=bh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    op = np.asarray(o)
+    assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+    assert np.all(op[:, :, : _PADL] == 0)
+    assert np.all(op[:, :, _PADL + w :] == 0)
+    assert np.all(op[..., nf:] == 0)
+
+
+def test_srvgg_model_stripe_path(rng):
+    """Full model via the stripe body (interpret) == the XLA scan path."""
+    import video_restore_tpu.ops.pallas_srvgg as pk
+
+    spec = SRVGGSpec(num_feat=16, num_conv=16, scale=4)
+    params = init_srvgg(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 24, 20, 3)).astype(np.float32))
+    ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
+
+    orig = pk.srvgg_stripe_padded
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pk, "srvgg_stripe_padded", interp):
+        out = np.asarray(_apply(params, x, spec.scale, stripe=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
