@@ -76,7 +76,17 @@ def default_use_srvgg_stripe() -> bool:
         return False
 
 
-_STRIPE_GROUP = 8  # convs fused per kernel call (halo rows = group)
+def _stripe_group() -> int:
+    """Convs fused per kernel call (halo rows = group). Measured on v5e
+    (config 4, fps/chip): group=4 -> 5.70, group=8 -> 6.11, group=16 ->
+    Mosaic compile-helper stall (same cliff as the 15-conv whole-RRDB
+    kernel). VRT_SRVGG_GROUP overrides for tuning."""
+    import os
+
+    try:
+        return int(os.environ.get("VRT_SRVGG_GROUP", "8"))
+    except ValueError:
+        return 8
 
 
 @partial(jax.jit, static_argnames=("scale", "stripe"))
@@ -101,7 +111,7 @@ def _apply(
         nf = feat.shape[-1]
         fh, fw = feat.shape[1], feat.shape[2]
         nconv = params["body"]["w"].shape[0]
-        g = _STRIPE_GROUP
+        g = _stripe_group()
         while nconv % g:  # fall back to a divisor for odd num_conv
             g -= 1
         ngroups = nconv // g
