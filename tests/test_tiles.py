@@ -94,3 +94,42 @@ def test_norm_vectors_positive():
     nr = g.rows.norm(4, g.mode, g.halo, g.overlap)
     nc = g.cols.norm(4, g.mode, g.halo, g.overlap)
     assert (nr > 1e-5).all() and (nc > 1e-5).all()
+
+
+def test_step_program_embeds_no_large_constants(rng):
+    """Regression guard: the production step once embedded the full-frame
+    overlap-add normalization field as a dense literal (265MB of MLIR at
+    4K — large enough to kill the TPU AOT compile helper). Lower the
+    flagship step for a reduced frame and assert the program text stays
+    small (the constant scaled with frame area, so it would still trip
+    this at 1/16 scale)."""
+    import dataclasses
+
+    import numpy as np
+
+    from video_restore_tpu.config import RestoreConfig
+    from video_restore_tpu.models.zoo import random_model
+    from video_restore_tpu.ops.tiles import auto_tile_chunk
+    from video_restore_tpu.parallel.dispatch import ShardedUpscaler
+    from video_restore_tpu.parallel.mesh import frame_mesh
+
+    h, w = 270, 480
+    cfg = RestoreConfig(
+        model_name="RealESRGAN_x4plus_anime_6B", tile_size=160,
+        tile_overlap=16, enhanced_mode=True, temporal=True,
+        audio_copy=False,
+    )
+    model = random_model(cfg.model_name, dtype=np.float32)
+    grid = TileGrid.build(h, w, cfg.tile_size, cfg.tile_overlap, 4)
+    chunk = auto_tile_chunk(
+        grid.rows.extract, grid.cols.extract, 4, grid.n_tiles
+    )
+    if chunk:
+        grid = dataclasses.replace(grid, tile_chunk=chunk)
+    ups = ShardedUpscaler(model, grid, cfg, frame_mesh(1))
+    x = ups.stage(np.zeros((1, h, w, 3), np.uint8))
+    carry = ups._init_carry()
+    txt = ups._step.lower(ups.params, x, carry).as_text()
+    # weights travel as arguments; program text must stay tiny. The old
+    # bug put ~8MB of dense f32 literal here even at this reduced size.
+    assert len(txt) < 3_000_000, f"step MLIR is {len(txt)/1e6:.1f}MB"
