@@ -560,8 +560,10 @@ def default_use_accum() -> bool:
 
 def default_use_stripe() -> bool:
     """Stripe-form Pallas RDB kernel (ops/pallas_stripe.py) — the
-    production default on TPU (measured 2.0x the XLA accum body on v5e);
-    opt out with VRT_STRIPE=0."""
+    production default on TPU (measured 2.0x the XLA accum body per RDB
+    on v5e, plus padded-form chaining and rdb3-residual fusion across the
+    23-block body — see ops/pallas_stripe.py); opt out with
+    VRT_STRIPE=0."""
     import os
 
     if os.environ.get("VRT_STRIPE") == "0":
