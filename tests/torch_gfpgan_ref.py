@@ -48,7 +48,9 @@ def _res_block(p, x, resample):
     out = resample(out)
     out = _lrelu(_conv(out, p["conv2"]))
     skip = _conv(resample(x), {"w": p["skip"]["w"], "b": None})
-    return (out + skip) / SQRT2
+    # clean-arch ResBlock: plain sum, no 1/sqrt(2) (that scaling is only
+    # in the non-clean gfpganv1 arch)
+    return out + skip
 
 
 def _modulated_conv(x, p, style, demodulate=True, sample_mode=None,

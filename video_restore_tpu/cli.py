@@ -50,7 +50,11 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     p.add_argument("--model", default="RealESRGAN_x4plus", choices=MODEL_NAMES)
     p.add_argument(
         "--devices", "--gpus", dest="devices", type=int, default=0,
-        help="number of TPU devices to shard frames across (0 = all)",
+        nargs="*",
+        help="number of TPU devices to shard frames across (0 = all). "
+             "Also accepts the reference's id-list form `--gpus 0 1` "
+             "(video_upscaler.py:656-657): the ids select how MANY mesh "
+             "devices to use; which physical chips is the mesh's choice",
     )
     p.add_argument("--quality", default="balanced",
                    choices=["fast", "balanced", "max"])
@@ -85,9 +89,10 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
                    help="face restorer: GFPGAN v1-clean prior (needs "
                         "downloadable weights) or the region heuristic")
     p.add_argument("--face-enhance", action="store_true",
-                   help="detect and enhance face regions (README.md:3 "
-                        "advertises GFPGAN; this is a detection+region-"
-                        "enhancement path, not a generative prior)")
+                   help="detect faces and restore them with the GFPGAN "
+                        "v1-clean prior (README.md:3); falls back to a "
+                        "region-enhancement heuristic when the GFPGAN "
+                        "weights are unavailable")
     p.add_argument("--no-seamless", action="store_true",
                    help="legacy pad-and-crop tiling (RealESRGANer parity)")
     p.add_argument("--no-temporal", action="store_true",
@@ -127,6 +132,32 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     return p
 
 
+def _resolve_devices(devices) -> int:
+    """Normalize ``--devices/--gpus`` to a device count.
+
+    Accepts the reference's id-list form ``--gpus 0 1``
+    (video_upscaler.py:656-657): two or more ids mean "use that many mesh
+    devices" — the ids themselves are meaningless on a TPU mesh, where
+    device placement belongs to the sharding, so we warn and use len().
+    A single value keeps this CLI's documented count semantics
+    (0 = all devices).
+    """
+    if isinstance(devices, int):
+        return devices
+    if not devices:  # `--gpus` with no operands
+        return 0
+    if len(devices) == 1:
+        return devices[0]
+    import logging
+
+    logging.getLogger("video_restore_tpu").warning(
+        "--gpus %s: interpreting the reference's GPU-id list as a device "
+        "COUNT (%d); physical placement is chosen by the TPU mesh",
+        " ".join(map(str, devices)), len(devices),
+    )
+    return len(devices)
+
+
 def config_from_args(args: argparse.Namespace) -> RestoreConfig:
     # --anime-mode implies the enhanced stack; the preset matrix and the
     # implied denoise must see the same effective flag or anime runs get an
@@ -162,7 +193,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         crf=crf,
         preset=preset,
         audio_copy=not args.no_audio,
-        num_devices=args.devices,
+        num_devices=_resolve_devices(args.devices),
         shard_mode=args.shard_mode,
         frames_per_batch=args.frames_per_batch,
         resume=args.resume,

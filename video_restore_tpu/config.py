@@ -88,7 +88,10 @@ class RestoreConfig:
     face_model: str = "auto"
 
     # --- output encoding (video_upscaler.py:127-131) ---
-    output_format: str = "mp4"
+    # batch-mode output container ("mp4", "mkv", ...); None keeps each
+    # input's own suffix. Single-file mode takes the container from the
+    # explicit output path instead.
+    output_format: Optional[str] = None
     video_codec: str = "h264"  # h265 advertised at README.md:30,250
     crf: int = 15
     preset: str = "slow"

@@ -183,12 +183,15 @@ def _to_rgb(p: Params, x: jax.Array, latent: jax.Array, skip=None):
 
 def _res_block(p: Params, x: jax.Array, resample) -> jax.Array:
     """Clean ResBlock: conv1 -> lrelu -> resample -> conv2 -> lrelu, plus
-    a resampled 1x1 skip, scaled by 1/sqrt(2)."""
+    a resampled 1x1 skip. The clean arch returns plain ``out + skip``;
+    the 1/sqrt(2) scaling exists only in the non-clean gfpganv1 arch and
+    must NOT be applied here (it would attenuate features ~2^-7 across
+    the 7+7 blocks against real v1.3/v1.4 params_ema checkpoints)."""
     out = leaky_relu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]), 0.2)
     out = resample(out)
     out = leaky_relu(conv2d(out, p["conv2"]["w"], p["conv2"]["b"]), 0.2)
     skip = conv2d(resample(x), p["skip"]["w"])
-    return (out + skip) * jnp.asarray(1.0 / _SQRT2, x.dtype)
+    return out + skip
 
 
 # ---------------------------------------------------------------------------

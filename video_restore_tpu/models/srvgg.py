@@ -84,7 +84,7 @@ def _stripe_group() -> int:
     import os
 
     try:
-        return int(os.environ.get("VRT_SRVGG_GROUP", "8"))
+        return max(1, int(os.environ.get("VRT_SRVGG_GROUP", "8")))
     except ValueError:
         return 8
 

@@ -1,19 +1,23 @@
-"""Face-region enhancement.
+"""Face detection + restoration (GFPGAN prior, with a region fallback).
 
 The reference README advertises GFPGAN face enhancement (README.md:3,
 requirements.txt:11) but never imports it (SURVEY.md §2.5). This module
-provides a real, dependency-light face enhancement path:
+provides the full path:
 
-- detect faces on the LR frame with OpenCV's bundled Haar cascade
-  (host-side, cheap, no network weights);
-- apply a stronger enhancement to each upscaled face region (extra
-  denoise + adaptive sharpening tuned for faces);
-- paste back with a feathered (cosine-ramp) mask so region edges are
-  invisible.
+- detect faces on the LR frame (YuNet DNN detector with 5-point
+  landmarks when available, Haar cascade fallback; host-side);
+- **learned path** (:func:`make_gfpgan_runner` +
+  :func:`restore_faces_learned`): crop each face, similarity-align to
+  the canonical FFHQ 5-point template when landmarks exist, run the
+  GFPGAN v1-clean prior (models/gfpgan.py, pure JAX, jitted batch of
+  512px crops), inverse-warp and paste back feathered;
+- **heuristic fallback** (:func:`enhance_face_regions`): when GFPGAN
+  weights are unavailable (e.g. zero-egress), apply a stronger
+  enhancement to each upscaled face region (extra denoise + adaptive
+  sharpening) — honest and artifact-free, but not generative.
 
-This is not a generative face prior like GFPGAN — it will not hallucinate
-facial detail — but it is honest, fast, and artifact-free. A future
-round can slot a learned face restorer behind the same region machinery.
+Paste-back uses a feathered (cosine-ramp) mask so region edges are
+invisible in both paths.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Seamless tile engine: batched overlapping tiles + Gaussian overlap-add.
+"""Seamless tile engine: batched overlapping tiles + ramp overlap-add.
 
 Replaces the reference's RealESRGANer tile loop (SURVEY.md §2.2;
 /root/reference/video_upscaler.py:326-338), which runs a sequential Python
@@ -12,16 +12,19 @@ was never implemented). Here the whole frame goes device-side once:
 2. All tiles are extracted with static slices and batched through the model
    (tiles are the batch axis — MXU-friendly — optionally in chunks to bound
    HBM peak).
-3. Output tiles are blended by Gaussian-weighted overlap-add in fp32. The
-   normalization field is separable (the window is an outer product and the
-   offsets form a grid), so it is two small 1-D vectors, not an output-sized
-   canvas.
+3. Output tiles are blended by weighted overlap-add in fp32 using a
+   complementary cosine-ramp window (flat interior, smooth fall-off across
+   the overlap — a deliberate improvement over the README's "Gaussian"
+   wording: adjacent ramps sum to 1, so normalization is exact; see
+   :func:`ramp_window`). The normalization field is separable (the window
+   is an outer product and the offsets form a grid), so it is two small
+   1-D vectors, not an output-sized canvas.
 
 The grid is computed independently per axis, so a 1024 tile on a 1280x720
 frame yields 720x1024 tiles rather than wasteful square padding.
 
 Modes:
-- ``seamless``: overlapping tiles, Gaussian window (the advertised behavior).
+- ``seamless``: overlapping tiles, ramp window (the advertised behavior).
 - ``legacy``: RealESRGANer parity — non-overlapping tile centers, each
   extracted with ``tile_pad`` pixels of real context, center-cropped and
   pasted without blending (video_upscaler.py:326-333, tile_pad=overlap when
@@ -42,15 +45,6 @@ from jax import lax
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def gaussian_window(size: int, sigma_frac: float = 0.25) -> np.ndarray:
-    """1-D full-tile Gaussian blend window (separable)."""
-    x = np.arange(size, dtype=np.float64)
-    c = (size - 1) / 2.0
-    sigma = max(size * sigma_frac, 1e-6)
-    w = np.exp(-0.5 * ((x - c) / sigma) ** 2)
-    return np.maximum(w, 1e-4)
 
 
 def ramp_window(size: int, ramp: int) -> np.ndarray:

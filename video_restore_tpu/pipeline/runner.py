@@ -346,7 +346,9 @@ class VideoRestorer:
             if cfg.face_model in ("auto", "gfpgan"):
                 from video_restore_tpu.ops.faces import make_gfpgan_runner
 
-                face_runner = make_gfpgan_runner()
+                face_runner = make_gfpgan_runner(
+                    models_dir=cfg.models_dir
+                )
                 if face_runner is not None:
                     log.info("face restorer: GFPGAN v1-clean prior")
                 elif cfg.face_model == "gfpgan":
@@ -633,8 +635,10 @@ class VideoRestorer:
                 len(mine), len(videos),
             )
         ok = 0
+        fmt = getattr(self.config, "output_format", None)
+        suffix_override = "." + fmt.lstrip(".") if fmt else None
         for v in mine:
-            out = outdir / f"{v.stem}_upscaled{v.suffix}"
+            out = outdir / f"{v.stem}_upscaled{suffix_override or v.suffix}"
             log.info("[batch] %s -> %s", v.name, out.name)
             if self.process_video(v, out, show_progress=show_progress):
                 ok += 1
