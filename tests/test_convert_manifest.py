@@ -83,6 +83,18 @@ def test_manifest_counts():
     # final SRVGG conv feeds the x4 pixel shuffle
     m = state_dict_manifest("RealESRGAN_x4_v3")
     assert m["body.66.weight"] == (48, 64, 3, 3)
+    # BSRGAN uses the original-ESRGAN/KAIR naming; its x2 variant has a
+    # raw 3-channel stem (no pixel-unshuffle) and no second upconv
+    b4 = state_dict_manifest("BSRGAN")
+    assert b4["RRDB_trunk.0.RDB1.conv1.weight"] == (32, 64, 3, 3)
+    assert b4["trunk_conv.weight"] == (64, 64, 3, 3)
+    assert "upconv2.weight" in b4 and "conv_up1.weight" not in b4
+    assert len(b4) == 23 * 3 * 5 * 2 + 12
+    b2 = state_dict_manifest("BSRGANx2")
+    assert b2["conv_first.weight"] == (64, 3, 3, 3)
+    assert "upconv2.weight" not in b2
+    assert len(b2) == 23 * 3 * 5 * 2 + 10
+    assert CHECKPOINT_NEST_KEY["BSRGAN"] == ""
 
 
 def test_validate_rejects_deviations(tmp_path):

@@ -43,6 +43,32 @@ def test_rrdbnet_matches_torch(rng, scale):
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("scale", [4, 2])
+def test_bsrgan_matches_torch(rng, scale):
+    """BSRGAN (ESRGAN/KAIR flavor, reference README.md:3): RRDB_trunk key
+    naming; the x2 variant feeds the raw input (no pixel-unshuffle) and
+    has a single upsample stage."""
+    from torch_ref import to_esrgan_keys
+
+    torch.manual_seed(2)
+    unshuffle = False
+    tm = RRDBNetTorch(nf=16, nb=2, gc=8, scale=scale,
+                      unshuffle=unshuffle).eval()
+    sd = to_esrgan_keys(_sd_numpy(tm))
+    params = convert_rrdbnet(sd, num_block=2, key_style="esrgan",
+                             num_upsample=2 if scale == 4 else 1)
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=scale,
+                       unshuffle=unshuffle, key_style="esrgan")
+    assert ("conv_up2" in params) == (scale == 4)
+
+    x = rng.random((1, 8, 12, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(apply_rrdbnet(params, jnp.asarray(x), spec))
+    assert ours.shape == ref.shape == (1, 8 * scale, 12 * scale, 3)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+
 def test_srvgg_matches_torch(rng):
     torch.manual_seed(1)
     tm = SRVGGNetCompactTorch(nf=16, nc=3, upscale=4).eval()

@@ -42,33 +42,66 @@ class RRDB(nn.Module):
 
 
 class RRDBNetTorch(nn.Module):
-    def __init__(self, in_ch=3, out_ch=3, nf=64, nb=23, gc=32, scale=4):
+    def __init__(self, in_ch=3, out_ch=3, nf=64, nb=23, gc=32, scale=4,
+                 unshuffle=True):
+        """``unshuffle=True`` is the basicsr (Real-ESRGAN) flavor: scale<4
+        pixel-unshuffles the input and keeps two upsample stages. False is
+        the original ESRGAN/KAIR flavor (BSRGAN): raw input, log2(scale)
+        upsample stages (so x2 has no conv_up2)."""
         super().__init__()
         self.scale = scale
-        stem_in = in_ch * (4 if scale == 2 else (16 if scale == 1 else 1))
+        self.unshuffle = unshuffle
+        stem_in = in_ch * (
+            (4 if scale == 2 else (16 if scale == 1 else 1))
+            if unshuffle else 1
+        )
         self.conv_first = nn.Conv2d(stem_in, nf, 3, 1, 1)
         self.body = nn.Sequential(*[RRDB(nf, gc) for _ in range(nb)])
         self.conv_body = nn.Conv2d(nf, nf, 3, 1, 1)
         self.conv_up1 = nn.Conv2d(nf, nf, 3, 1, 1)
-        self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.two_up = unshuffle or scale == 4
+        if self.two_up:
+            self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
         self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
         self.conv_last = nn.Conv2d(nf, out_ch, 3, 1, 1)
         self.lrelu = nn.LeakyReLU(0.2, inplace=True)
 
     def forward(self, x):
-        if self.scale == 2:
+        if self.unshuffle and self.scale == 2:
             x = F.pixel_unshuffle(x, 2)
-        elif self.scale == 1:
+        elif self.unshuffle and self.scale == 1:
             x = F.pixel_unshuffle(x, 4)
         feat = self.conv_first(x)
         feat = feat + self.conv_body(self.body(feat))
         feat = self.lrelu(
             self.conv_up1(F.interpolate(feat, scale_factor=2, mode="nearest"))
         )
-        feat = self.lrelu(
-            self.conv_up2(F.interpolate(feat, scale_factor=2, mode="nearest"))
-        )
+        if self.two_up:
+            feat = self.lrelu(
+                self.conv_up2(
+                    F.interpolate(feat, scale_factor=2, mode="nearest")
+                )
+            )
         return self.conv_last(self.lrelu(self.conv_hr(feat)))
+
+
+def to_esrgan_keys(sd):
+    """Rename a basicsr-style RRDBNet state_dict to the original
+    ESRGAN/KAIR naming used by the BSRGAN releases (RRDB_trunk.*,
+    trunk_conv, upconv1/2, HRconv)."""
+    out = {}
+    for k, v in sd.items():
+        k = (
+            k.replace("conv_body", "trunk_conv")
+            .replace("conv_up1", "upconv1")
+            .replace("conv_up2", "upconv2")
+            .replace("conv_hr", "HRconv")
+        )
+        if k.startswith("body."):
+            k = "RRDB_trunk." + k[len("body."):]
+            k = k.replace(".rdb", ".RDB")
+        out[k] = v
+    return out
 
 
 class SRVGGNetCompactTorch(nn.Module):

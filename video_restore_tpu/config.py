@@ -32,6 +32,9 @@ MODEL_NAMES = (
     "RealESRGAN_x4_v3",
     "RealESRGAN_x4plus_anime_6B",
     "RealESRGAN_x2plus",
+    # advertised at reference README.md:3, never wired there
+    "BSRGAN",
+    "BSRGANx2",
 )
 
 QUALITY_PRESETS = ("fast", "balanced", "max")
@@ -128,7 +131,8 @@ class RestoreConfig:
             # README.md:161 --anime-mode implies the anime-tuned model.
             self.model_name = "RealESRGAN_x4plus_anime_6B"
         if self.scale == 0:
-            self.scale = 2 if self.model_name == "RealESRGAN_x2plus" else 4
+            x2_models = ("RealESRGAN_x2plus", "BSRGANx2")
+            self.scale = 2 if self.model_name in x2_models else 4
         if self.outscale == 0.0:
             self.outscale = float(self.scale)
         if self.precision not in PRECISIONS:

@@ -58,10 +58,23 @@ def _conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_rrdbnet(sd: Dict[str, np.ndarray], num_block: int) -> Dict[str, Any]:
+def convert_rrdbnet(
+    sd: Dict[str, np.ndarray],
+    num_block: int,
+    key_style: str = "basicsr",
+    num_upsample: int = 2,
+) -> Dict[str, Any]:
+    """``key_style``/``num_upsample`` select the checkpoint flavor: basicsr
+    (Real-ESRGAN releases) vs original-ESRGAN/KAIR naming (BSRGAN; its x2
+    variant has a single upsample stage and no conv_up2)."""
+    from video_restore_tpu.models.manifests import RRDB_KEY_STYLES
+
+    names = RRDB_KEY_STYLES[key_style]
+
     def rdb(i: int, j: int) -> Dict[str, Any]:
         return {
-            f"conv{k}": _conv(sd, f"body.{i}.rdb{j}.conv{k}") for k in range(1, 6)
+            f"conv{k}": _conv(sd, names["body"].format(i=i, j=j, k=k))
+            for k in range(1, 6)
         }
 
     blocks = [{"rdb1": rdb(i, 1), "rdb2": rdb(i, 2), "rdb3": rdb(i, 3)} for i in range(num_block)]
@@ -72,15 +85,17 @@ def convert_rrdbnet(sd: Dict[str, np.ndarray], num_block: int) -> Dict[str, Any]
     import jax
 
     body = jax.tree.map(stack, *blocks)
-    return {
+    params = {
         "conv_first": _conv(sd, "conv_first"),
         "body": body,
-        "conv_body": _conv(sd, "conv_body"),
-        "conv_up1": _conv(sd, "conv_up1"),
-        "conv_up2": _conv(sd, "conv_up2"),
-        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_body": _conv(sd, names["conv_body"]),
+        "conv_up1": _conv(sd, names["conv_up1"]),
+        "conv_hr": _conv(sd, names["conv_hr"]),
         "conv_last": _conv(sd, "conv_last"),
     }
+    if num_upsample == 2:
+        params["conv_up2"] = _conv(sd, names["conv_up2"])
+    return params
 
 
 def convert_srvgg(sd: Dict[str, np.ndarray], num_conv: int) -> Dict[str, Any]:
@@ -114,5 +129,7 @@ def convert_pth_to_params(path: Union[str, Path], model_name: str) -> Dict[str, 
     # checkpoint schema rather than producing a silently broken model
     validate_state_dict(sd, model_name)
     if isinstance(spec, RRDBNetSpec):
-        return convert_rrdbnet(sd, spec.num_block)
+        return convert_rrdbnet(
+            sd, spec.num_block, spec.key_style, spec.num_upsample
+        )
     return convert_srvgg(sd, spec.num_conv)

@@ -35,17 +35,40 @@ from video_restore_tpu.models.srvgg import SRVGGSpec
 
 Shape = Tuple[int, ...]
 
-# top-level nesting key of each released .pth (public serialization fact)
+# top-level nesting key of each released .pth (public serialization fact);
+# "" = bare state_dict (the KAIR/BSRGAN releases)
 CHECKPOINT_NEST_KEY: Dict[str, str] = {
     "RealESRGAN_x4plus": "params_ema",
     "RealESRGAN_x4plus_anime_6B": "params_ema",
     "RealESRGAN_x2plus": "params_ema",
     "RealESRGAN_x4_v3": "params",
+    "BSRGAN": "",
+    "BSRGANx2": "",
+}
+
+# torch key naming per RRDBNetSpec.key_style: basicsr (Real-ESRGAN
+# releases) vs original-ESRGAN/KAIR (the BSRGAN releases)
+RRDB_KEY_STYLES: Dict[str, Dict[str, str]] = {
+    "basicsr": {
+        "body": "body.{i}.rdb{j}.conv{k}",
+        "conv_body": "conv_body",
+        "conv_up1": "conv_up1",
+        "conv_up2": "conv_up2",
+        "conv_hr": "conv_hr",
+    },
+    "esrgan": {
+        "body": "RRDB_trunk.{i}.RDB{j}.conv{k}",
+        "conv_body": "trunk_conv",
+        "conv_up1": "upconv1",
+        "conv_up2": "upconv2",
+        "conv_hr": "HRconv",
+    },
 }
 
 
 def rrdbnet_manifest(spec: RRDBNetSpec) -> Dict[str, Shape]:
     m: Dict[str, Shape] = {}
+    names = RRDB_KEY_STYLES[spec.key_style]
 
     def conv(prefix: str, cin: int, cout: int) -> None:
         m[f"{prefix}.weight"] = (cout, cin, 3, 3)
@@ -58,11 +81,12 @@ def rrdbnet_manifest(spec: RRDBNetSpec) -> Dict[str, Shape]:
             for k in range(1, 6):
                 cin = nf + (k - 1) * gc
                 cout = gc if k < 5 else nf
-                conv(f"body.{i}.rdb{j}.conv{k}", cin, cout)
-    conv("conv_body", nf, nf)
-    conv("conv_up1", nf, nf)
-    conv("conv_up2", nf, nf)
-    conv("conv_hr", nf, nf)
+                conv(names["body"].format(i=i, j=j, k=k), cin, cout)
+    conv(names["conv_body"], nf, nf)
+    conv(names["conv_up1"], nf, nf)
+    if spec.num_upsample == 2:
+        conv(names["conv_up2"], nf, nf)
+    conv(names["conv_hr"], nf, nf)
     conv("conv_last", nf, spec.num_out_ch)
     return m
 

@@ -61,15 +61,32 @@ class RRDBNetSpec:
     num_block: int = 23
     num_grow_ch: int = 32
     scale: int = 4
+    # basicsr (Real-ESRGAN) reaches scale<4 by pixel-unshuffling the input
+    # and keeping two 2x upsample stages; the original ESRGAN/KAIR nets
+    # (BSRGAN) instead feed the raw input and use log2(scale) stages.
+    unshuffle: bool = True
+    # torch state_dict naming of the released checkpoint this spec loads:
+    # "basicsr" (body.{i}.rdb{j}...) or "esrgan" (RRDB_trunk.{i}.RDB{j}...)
+    key_style: str = "basicsr"
 
     @property
     def stem_in_ch(self) -> int:
         """Input channels after the scale<4 pixel-unshuffle."""
+        if not self.unshuffle:
+            return self.num_in_ch
         if self.scale == 2:
             return self.num_in_ch * 4
         if self.scale == 1:
             return self.num_in_ch * 16
         return self.num_in_ch
+
+    @property
+    def num_upsample(self) -> int:
+        """Nearest-up+conv 2x stages in the tail (2 for every basicsr
+        variant; log2(scale) for ESRGAN-style nets, e.g. BSRGANx2 has 1)."""
+        if self.unshuffle or self.scale == 4:
+            return 2
+        return 1
 
 
 def _conv_init(key, kh, kw, cin, cout, gain=1.0, dtype=jnp.float32):
@@ -109,7 +126,7 @@ def init_rrdbnet(key: jax.Array, spec: RRDBNetSpec, dtype=jnp.float32) -> Params
 
     blocks = [one_block(body_keys[i]) for i in range(spec.num_block)]
     body = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
-    return {
+    params = {
         "conv_first": _conv_init(keys[0], 3, 3, spec.stem_in_ch, nf, 1.0, dtype),
         "body": body,
         "conv_body": _conv_init(keys[1], 3, 3, nf, nf, 1.0, dtype),
@@ -118,6 +135,9 @@ def init_rrdbnet(key: jax.Array, spec: RRDBNetSpec, dtype=jnp.float32) -> Params
         "conv_hr": _conv_init(keys[4], 3, 3, nf, nf, 1.0, dtype),
         "conv_last": _conv_init(keys[5], 3, 3, nf, spec.num_out_ch, 1.0, dtype),
     }
+    if spec.num_upsample == 1:
+        del params["conv_up2"]
+    return params
 
 
 def _rdb_apply(p: Params, x: jax.Array) -> jax.Array:
@@ -376,6 +396,7 @@ def default_use_pallas() -> bool:
     jax.jit,
     static_argnames=(
         "scale", "naive", "use_pallas", "sd", "accum", "stripe", "prepared",
+        "unshuffle",
     ),
 )
 def _apply(
@@ -388,10 +409,11 @@ def _apply(
     accum: bool = False,
     stripe: bool = False,
     prepared: bool = False,
+    unshuffle: bool = True,
 ) -> jax.Array:
-    if scale == 2:
+    if unshuffle and scale == 2:
         x = pixel_unshuffle(x, 2)
-    elif scale == 1:
+    elif unshuffle and scale == 1:
         x = pixel_unshuffle(x, 4)
     if sd and (x.shape[1] % 2 or x.shape[2] % 2):
         if prepared:
@@ -512,6 +534,8 @@ def _apply(
         )
         feat = feat + body_out
 
+    # ESRGAN-style x2 nets (BSRGANx2) have a single upsample stage and no
+    # conv_up2 param (RRDBNetSpec.num_upsample)
     if naive:
         feat = leaky_relu(
             conv2d(
@@ -519,19 +543,21 @@ def _apply(
                 params["conv_up1"]["w"], params["conv_up1"]["b"],
             )
         )
-        feat = leaky_relu(
-            conv2d(
-                upsample_nearest(feat, 2),
-                params["conv_up2"]["w"], params["conv_up2"]["b"],
+        if "conv_up2" in params:
+            feat = leaky_relu(
+                conv2d(
+                    upsample_nearest(feat, 2),
+                    params["conv_up2"]["w"], params["conv_up2"]["b"],
+                )
             )
-        )
     else:
         feat = leaky_relu(
             upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
         )
-        feat = leaky_relu(
-            upconv2x(feat, params["conv_up2"]["w"], params["conv_up2"]["b"])
-        )
+        if "conv_up2" in params:
+            feat = leaky_relu(
+                upconv2x(feat, params["conv_up2"]["w"], params["conv_up2"]["b"])
+            )
     feat = leaky_relu(conv2d(feat, params["conv_hr"]["w"], params["conv_hr"]["b"]))
     if not naive and os.environ.get("VRT_PACKED_LAST") == "1":
         # cout=3 at 4K runs the MXU at 2.3% lane occupancy (4.6 TF/s,
@@ -679,4 +705,7 @@ def apply_rrdbnet(
         not naive and not use_pallas and not sd and not stripe
         and default_use_accum()
     )
-    return _apply(params, x, spec.scale, naive, use_pallas, sd, accum, stripe)
+    return _apply(
+        params, x, spec.scale, naive, use_pallas, sd, accum, stripe,
+        unshuffle=spec.unshuffle,
+    )

@@ -66,6 +66,21 @@ MODEL_ZOO: Dict[str, ZooEntry] = {
         "https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.1/RealESRGAN_x2plus.pth",
         "RealESRGAN_x2plus.pth",
     ),
+    # BSRGAN (reference README.md:3 advertises it; never wired there).
+    # Same RRDB topology but the original ESRGAN/KAIR flavor: bare
+    # state_dict, RRDB_trunk.* key naming, and for x2 a plain 3-channel
+    # stem with a single upsample stage (no pixel-unshuffle).
+    "BSRGAN": ZooEntry(
+        RRDBNetSpec(num_block=23, scale=4, key_style="esrgan"),
+        "https://github.com/cszn/KAIR/releases/download/v1.0/BSRGAN.pth",
+        "BSRGAN.pth",
+    ),
+    "BSRGANx2": ZooEntry(
+        RRDBNetSpec(num_block=23, scale=2, unshuffle=False,
+                    key_style="esrgan"),
+        "https://github.com/cszn/KAIR/releases/download/v1.0/BSRGANx2.pth",
+        "BSRGANx2.pth",
+    ),
 }
 
 
@@ -121,6 +136,7 @@ class ModelHandle:
                 accum=mode == "accum",
                 stripe=mode == "stripe",
                 prepared=mode != "naive",
+                unshuffle=spec.unshuffle,
             )
 
         return pp, fn
