@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: setup check test bench test-videos native clean
+.PHONY: setup check test bench parity test-videos native clean
 
 setup:
 	$(PY) -m pip install -e .
@@ -15,6 +15,14 @@ test:
 
 bench:
 	$(PY) bench.py
+
+# golden-weight parity: converts + runs every zoo model (and GFPGAN) and
+# checks PSNR/SSIM vs the torch cross-implementation. With released .pth
+# files in models/ this certifies REAL-weight parity (the BASELINE.md
+# north-star bar); without them it self-checks on schema-exact synthetic
+# checkpoints against the committed goldens in tests/goldens/.
+parity:
+	$(PY) tools/golden_parity.py --models-dir models
 
 # generate the degraded test-clip suite (13 presets)
 test-videos:
