@@ -34,10 +34,18 @@ class FaceBox:
     y: int
     w: int
     h: int
+    # optional 5-point landmarks ((x, y) right eye, left eye, nose tip,
+    # right mouth corner, left mouth corner) in the same coordinate frame
+    # as the box — provided by the YuNet detector, None otherwise
+    landmarks: "tuple | None" = None
 
     def scaled(self, s: float) -> "FaceBox":
+        lm = None
+        if self.landmarks is not None:
+            lm = tuple((px * s, py * s) for px, py in self.landmarks)
         return FaceBox(
-            int(self.x * s), int(self.y * s), int(self.w * s), int(self.h * s)
+            int(self.x * s), int(self.y * s), int(self.w * s),
+            int(self.h * s), lm,
         )
 
     def expanded(self, frac: float, width: int, height: int) -> "FaceBox":
@@ -55,9 +63,11 @@ _detector = None  # ("cascade"|"yunet"|"skin", handle)
 def _init_detector():
     """Pick the best available detector:
 
-    1. Haar cascade (OpenCV < 5 bundles the XML),
-    2. YuNet DNN (OpenCV >= 5 FaceDetectorYN; needs an .onnx model file at
-       $VRT_YUNET_MODEL or models/face_detection_yunet*.onnx),
+    1. YuNet DNN (OpenCV >= 4.5.4 FaceDetectorYN; needs an .onnx model
+       file at $VRT_YUNET_MODEL or models/face_detection_yunet*.onnx) —
+       preferred because it returns the 5-point landmarks the GFPGAN
+       alignment path needs,
+    2. Haar cascade (OpenCV bundles the XML; boxes only),
     3. skin-region heuristic (always available; no learned prior).
     """
     import glob
@@ -65,12 +75,6 @@ def _init_detector():
 
     import cv2
 
-    if hasattr(cv2, "CascadeClassifier") and hasattr(cv2, "data"):
-        path = os.path.join(
-            cv2.data.haarcascades, "haarcascade_frontalface_default.xml"
-        )
-        if os.path.exists(path):
-            return ("cascade", cv2.CascadeClassifier(path))
     if hasattr(cv2, "FaceDetectorYN_create"):
         cand = [os.environ.get("VRT_YUNET_MODEL", "")]
         cand += glob.glob("models/face_detection_yunet*.onnx")
@@ -80,6 +84,12 @@ def _init_detector():
                     "yunet",
                     cv2.FaceDetectorYN_create(p, "", (320, 320), 0.7),
                 )
+    if hasattr(cv2, "CascadeClassifier") and hasattr(cv2, "data"):
+        path = os.path.join(
+            cv2.data.haarcascades, "haarcascade_frontalface_default.xml"
+        )
+        if os.path.exists(path):
+            return ("cascade", cv2.CascadeClassifier(path))
     return ("skin", None)
 
 
@@ -137,8 +147,16 @@ def detect_faces(frame_rgb: np.ndarray, min_size: int = 24) -> List[FaceBox]:
         _, faces = det.detect(frame_rgb[..., ::-1])
         if faces is None:
             return []
+        # YuNet rows: x, y, w, h, then 5 landmark (x, y) pairs (right
+        # eye, left eye, nose tip, right/left mouth corner), then score
         return [
-            FaceBox(int(f[0]), int(f[1]), int(f[2]), int(f[3]))
+            FaceBox(
+                int(f[0]), int(f[1]), int(f[2]), int(f[3]),
+                tuple(
+                    (float(f[4 + 2 * i]), float(f[5 + 2 * i]))
+                    for i in range(5)
+                ),
+            )
             for f in faces
             if f[2] >= min_size and f[3] >= min_size
         ]
@@ -198,6 +216,39 @@ def enhance_face_regions(
 # learned face restoration (GFPGAN v1-clean prior)
 # ---------------------------------------------------------------------------
 
+# The canonical FFHQ 5-point template at 512px (right eye, left eye, nose
+# tip, right mouth corner, left mouth corner) — the standard alignment
+# target the upstream GFPGAN tool warps faces to before the prior (public
+# facexlib constant).
+FFHQ_TEMPLATE_512 = np.array(
+    [
+        [192.98138, 239.94708],
+        [318.90277, 240.1936],
+        [256.63416, 314.01935],
+        [201.26117, 371.41043],
+        [313.08905, 371.15118],
+    ],
+    np.float32,
+)
+
+
+def align_transform(landmarks: np.ndarray) -> "np.ndarray | None":
+    """Similarity transform (2x3) mapping 5 detected landmarks onto the
+    canonical FFHQ 512px template, or None if estimation fails."""
+    import cv2
+
+    src = np.asarray(landmarks, np.float32).reshape(5, 2)
+    m, _ = cv2.estimateAffinePartial2D(
+        src, FFHQ_TEMPLATE_512, method=cv2.LMEDS
+    )
+    if m is None or not np.isfinite(m).all():
+        return None
+    # degenerate scale (collinear/duplicate landmarks) -> unusable warp
+    s = float(np.hypot(m[0, 0], m[0, 1]))
+    if not 1e-3 < s < 1e3:
+        return None
+    return m.astype(np.float32)
+
 
 def make_gfpgan_runner(models_dir=None, name: str = "GFPGANv1.4"):
     """Load the GFPGAN prior and return a jitted crop-restorer, or None
@@ -237,15 +288,36 @@ def restore_faces_learned(
     """Restore each detected face with the GFPGAN prior and feather it
     back. hr_frame: (H, W, 3) uint8 RGB; faces_lr: LR-coordinate boxes;
     ``strength`` blends restored vs original inside the crop (GFPGAN's
-    `weight`): 0 = untouched, 1 = fully restored."""
+    `weight`): 0 = untouched, 1 = fully restored.
+
+    Faces with 5-point landmarks (YuNet) are similarity-warped to the
+    canonical FFHQ template before the prior and inverse-warped on paste
+    — the upstream GFPGAN behaviour, which preserves identity on tilted
+    faces. Boxes without landmarks use the loose square-crop fallback."""
     if not faces_lr or runner is None:
         return hr_frame
     import cv2
 
     hh, ww = hr_frame.shape[:2]
-    boxes = []
+    aligned = []  # (M 2x3 HR->template) per face
+    boxes = []  # (x0, y0, side) loose-square fallback
+    crops = []
     for box in faces_lr:
         b = box.scaled(scale)
+        m = (
+            align_transform(np.asarray(b.landmarks, np.float32))
+            if b.landmarks is not None
+            else None
+        )
+        if m is not None:
+            crop = cv2.warpAffine(
+                hr_frame, m, (512, 512), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT,
+                borderValue=(135, 133, 132),
+            )
+            aligned.append(m)
+            crops.append(crop.astype(np.float32) / 255.0)
+            continue
         # square crop with margin, GFPGAN-style loose alignment
         side = int(max(b.w, b.h) * 1.6)
         cx, cy = b.x + b.w // 2, b.y + b.h // 2
@@ -254,20 +326,36 @@ def restore_faces_learned(
         side = min(side, ww - x0, hh - y0)
         if side >= 32:
             boxes.append((x0, y0, side))
-    if not boxes:
+            crops.append(
+                cv2.resize(
+                    hr_frame[y0 : y0 + side, x0 : x0 + side],
+                    (512, 512), interpolation=cv2.INTER_LINEAR,
+                ).astype(np.float32) / 255.0
+            )
+    if not crops:
         return hr_frame
 
-    crops = np.stack([
-        cv2.resize(
-            hr_frame[y0 : y0 + s, x0 : x0 + s],
-            (512, 512), interpolation=cv2.INTER_LINEAR,
-        ).astype(np.float32) / 255.0
-        for x0, y0, s in boxes
-    ])
-    restored = runner(crops)
+    restored = runner(np.stack(crops))
+    rest_aligned = restored[: len(aligned)]
+    rest_boxes = restored[len(aligned):]
 
-    out = hr_frame.copy()
-    for (x0, y0, s), rest in zip(boxes, restored):
+    out = hr_frame.astype(np.float32)
+    feather512 = _feather_mask(512, 512).astype(np.float32)
+    for m, rest in zip(aligned, rest_aligned):
+        inv = cv2.invertAffineTransform(m)
+        back = cv2.warpAffine(
+            np.clip(rest, 0.0, 1.0) * 255.0, inv, (ww, hh),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+            borderValue=0,
+        )
+        mask = cv2.warpAffine(
+            feather512, inv, (ww, hh), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+        )[..., None] * strength
+        out = back * mask + out * (1.0 - mask)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+
+    for (x0, y0, s), rest in zip(boxes, rest_boxes):
         back = cv2.resize(
             (np.clip(rest, 0.0, 1.0) * 255.0).astype(np.uint8), (s, s),
             interpolation=cv2.INTER_LINEAR,
