@@ -175,3 +175,48 @@ def test_compare_videos_msssim(tmp_path, rng):
                 wr.write(g)
     res = compare_videos(str(a), str(b), msssim=True)
     assert "msssim_mean" in res and 0.0 < res["msssim_mean"] <= 1.0
+
+
+def test_gmsd_properties(rng):
+    """GMSD (lower = better): 0 on identical frames, monotone in
+    degradation severity, insensitive to a global luma shift (it is a
+    gradient-domain metric)."""
+    from video_restore_tpu.metrics import frame_gmsd
+
+    base = (rng.random((192, 256, 3)) * 255).astype(np.uint8)
+    assert frame_gmsd(base, base) == pytest.approx(0.0, abs=1e-12)
+
+    light = np.clip(
+        base.astype(np.int16) + rng.integers(-8, 8, base.shape), 0, 255
+    ).astype(np.uint8)
+    heavy = np.clip(
+        base.astype(np.int16) + rng.integers(-80, 80, base.shape), 0, 255
+    ).astype(np.uint8)
+    g_light = frame_gmsd(base, light)
+    g_heavy = frame_gmsd(base, heavy)
+    assert 0.0 < g_light < g_heavy
+
+    shifted = np.clip(base.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    assert frame_gmsd(base, shifted) < g_light
+
+
+def test_compare_videos_gmsd(tmp_path, rng):
+    import numpy as np
+
+    from video_restore_tpu.metrics import compare_videos
+    from video_restore_tpu.video.y4m import Y4MWriter
+
+    a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+    frames = (rng.random((3, 64, 96, 3)) * 255).astype(np.uint8)
+    for path, jitter in ((a, 0), (b, 6)):
+        with Y4MWriter(str(path), 96, 64, 25) as wr:
+            for f in frames:
+                g = np.clip(
+                    f.astype(np.int16)
+                    + rng.integers(-jitter, jitter + 1, f.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                wr.write(g)
+    res = compare_videos(str(a), str(b), gmsd=True)
+    assert "gmsd_mean" in res and 0.0 < res["gmsd_mean"] < 1.0
+    assert res["gmsd_max"] >= res["gmsd_mean"]

@@ -97,16 +97,50 @@ def frame_msssim(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.prod(vals))
 
 
+def frame_gmsd(a: np.ndarray, b: np.ndarray) -> float:
+    """Gradient Magnitude Similarity Deviation (Xue et al. 2014): a
+    weight-free perceptual metric well-correlated with human ratings of
+    restoration quality — usable where LPIPS-class learned metrics are
+    not (zero-egress: no downloadable backbones). Lower is better;
+    0 = identical. Standard parameters: 2x average-pool prefilter,
+    Prewitt gradients, c = 170 on the [0, 255] scale."""
+    from scipy.ndimage import convolve, uniform_filter
+
+    def lum(x):
+        x = x.astype(np.float64)
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    def pre(x):
+        # 2x2 average pool with stride 2 (the paper's downsampling)
+        x = uniform_filter(x, size=2, mode="nearest")
+        return x[::2, ::2]
+
+    x, y = pre(lum(a)), pre(lum(b))
+    hx = np.array([[1, 0, -1], [1, 0, -1], [1, 0, -1]], np.float64) / 3.0
+    hy = hx.T
+
+    def gm(im):
+        gx = convolve(im, hx, mode="nearest")
+        gy = convolve(im, hy, mode="nearest")
+        return np.sqrt(gx * gx + gy * gy)
+
+    gmr, gmd = gm(x), gm(y)
+    c = 170.0
+    gms = (2.0 * gmr * gmd + c) / (gmr * gmr + gmd * gmd + c)
+    return float(np.std(gms))
+
+
 def compare_videos(
     ref_path: str,
     test_path: str,
     max_frames: int = 0,
     ssim_every: int = 1,
     msssim: bool = False,
+    gmsd: bool = False,
 ) -> Dict[str, float]:
-    """Frame-aligned PSNR/SSIM (and MS-SSIM with ``msssim=True``).
-    Raises if dimensions or counts mismatch."""
-    psnrs, ssims, msssims = [], [], []
+    """Frame-aligned PSNR/SSIM (MS-SSIM with ``msssim=True``, GMSD with
+    ``gmsd=True``). Raises if dimensions or counts mismatch."""
+    psnrs, ssims, msssims, gmsds = [], [], [], []
     with open_reader(ref_path) as ra, open_reader(test_path) as rb:
         for i, (fa, fb) in enumerate(zip(ra, rb)):
             if max_frames and i >= max_frames:
@@ -120,6 +154,8 @@ def compare_videos(
                 ssims.append(frame_ssim(fa, fb))
                 if msssim:
                     msssims.append(frame_msssim(fa, fb))
+                if gmsd:
+                    gmsds.append(frame_gmsd(fa, fb))
     if not psnrs:
         raise ValueError("no overlapping frames")
     finite = [p for p in psnrs if np.isfinite(p)]
@@ -133,6 +169,9 @@ def compare_videos(
     if msssims:
         out["msssim_mean"] = float(np.mean(msssims))
         out["msssim_min"] = float(np.min(msssims))
+    if gmsds:
+        out["gmsd_mean"] = float(np.mean(gmsds))
+        out["gmsd_max"] = float(np.max(gmsds))
     return out
 
 
@@ -144,10 +183,13 @@ def main(argv=None) -> int:
     ap.add_argument("--ssim-every", type=int, default=1)
     ap.add_argument("--msssim", action="store_true",
                     help="also compute multi-scale SSIM")
+    ap.add_argument("--gmsd", action="store_true",
+                    help="also compute GMSD (weight-free perceptual "
+                         "metric; lower is better)")
     args = ap.parse_args(argv)
     result = compare_videos(
         args.reference, args.test, args.frames, args.ssim_every,
-        msssim=args.msssim,
+        msssim=args.msssim, gmsd=args.gmsd,
     )
     print(json.dumps(result))
     return 0
