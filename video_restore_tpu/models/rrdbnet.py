@@ -588,12 +588,16 @@ def default_use_stripe() -> bool:
     """Stripe-form Pallas RDB kernel (ops/pallas_stripe.py) — the
     production default on TPU (measured 2.0x the XLA accum body per RDB
     on v5e, plus padded-form chaining and rdb3-residual fusion across the
-    23-block body — see ops/pallas_stripe.py); opt out with
-    VRT_STRIPE=0."""
+    23-block body — see ops/pallas_stripe.py); opt out with VRT_STRIPE=0.
+    VRT_STRIPE=1 forces it on non-TPU backends too (interpret-mode
+    validation, e.g. the multichip dryrun)."""
     import os
 
-    if os.environ.get("VRT_STRIPE") == "0":
+    v = os.environ.get("VRT_STRIPE")
+    if v == "0":
         return False
+    if v == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
