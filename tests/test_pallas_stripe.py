@@ -226,3 +226,60 @@ def test_full_model_stripe_path_interpret(rng):
         )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_npacked_conv_parity(rng):
+    """N-packed dx contraction (one (M,K)x(K,3N) matmul + slice/roll/add)
+    must match the 3-matmul stripe form and the naive RDB exactly."""
+    from video_restore_tpu.models.rrdbnet import _rdb_apply, init_rrdbnet
+    from video_restore_tpu.ops.pallas_stripe import (
+        pack_prefix_weights,
+        prefix_rdb_weights,
+        rdb_stripe,
+    )
+
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8)
+    params = init_rrdbnet(jax.random.PRNGKey(3), spec)
+    rdb = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+    x = jnp.asarray(rng.random((1, 24, 20, 16)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb, x))
+    ws, bs = prefix_rdb_weights(rdb, 16, 8)
+    for pack in [(0, 1, 4), (0, 1, 2, 3, 4)]:
+        wsp = pack_prefix_weights(ws, pack)
+        out = np.asarray(
+            rdb_stripe(x, wsp, bs, block_h=8, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sd_tail_parity(rng, monkeypatch):
+    """sd-throughout tail (VRT_SD_TAIL=1) == reference tail, both
+    unprepared and through prepare_rrdbnet, incl. the single-upsample
+    (BSRGANx2) topology."""
+    from video_restore_tpu.models.rrdbnet import (
+        _apply,
+        apply_rrdbnet,
+        init_rrdbnet,
+        prepare_rrdbnet,
+    )
+
+    for unshuffle, scale in [(True, 4), (False, 2)]:
+        spec = RRDBNetSpec(
+            num_feat=16, num_block=2, num_grow_ch=8, scale=scale,
+            unshuffle=unshuffle,
+        )
+        params = init_rrdbnet(jax.random.PRNGKey(4), spec)
+        x = jnp.asarray(rng.random((1, 12, 16, 3)).astype(np.float32))
+        ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+
+        monkeypatch.setenv("VRT_SD_TAIL", "1")
+        out = np.asarray(
+            _apply(params, x, spec.scale, unshuffle=unshuffle)
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+        pp = prepare_rrdbnet(params, "regrouped", 16, 8)
+        out_p = np.asarray(
+            _apply(pp, x, spec.scale, prepared=True, unshuffle=unshuffle)
+        )
+        np.testing.assert_allclose(out_p, ref, rtol=2e-4, atol=2e-4)
+        monkeypatch.delenv("VRT_SD_TAIL")

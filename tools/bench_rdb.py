@@ -100,6 +100,40 @@ def main():
 
             bench(mode, step, x, tp)
 
+        elif mode.startswith("stripep"):
+            # stripep:BH[:s0s1s4] — N-packed dx contraction (one
+            # (M,K)x(K,3N) matmul + slice/roll/add per packed conv)
+            from video_restore_tpu.ops.pallas_stripe import (
+                NPACK_DEFAULT,
+                pack_prefix_weights,
+            )
+
+            parts = mode.split(":")
+            bh = int(parts[1]) if len(parts) > 1 else 64
+            pack = (
+                tuple(int(c) for c in parts[2])
+                if len(parts) > 2
+                else NPACK_DEFAULT
+            )
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = pack_prefix_weights(ws, pack)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+
+            @jax.jit
+            def step(x, wb, bh=bh):
+                def body(h, _):
+                    return (
+                        rdb_stripe(h, wb[0], wb[1], block_h=bh),
+                        None,
+                    )
+
+                return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, wb)
+
         elif mode.startswith("stripe"):
             # stripe:BH (fp32 accumulator) or stripe16:BH (bf16 acc)
             bh = int(mode.split(":")[1]) if ":" in mode else 64

@@ -92,7 +92,37 @@ def main():
         f = leaky_relu(conv2d(f, whr, bhr))
         return conv2d(f, wl, bl)
 
-    tails = {"ct": tail_ct, "sd": tail_sd}
+    def tail_sdt(x, w):
+        # sd-throughout (VERDICT r2 item #2): upconv1 phase-major + ONE
+        # cheap coarse shuffle; upconv2 phase-major emits the 4x grid as
+        # channel-packed sd at the 2x grid; conv_hr/conv_last run in the
+        # sd domain; a single 12-channel pixel_shuffle at the RGB end.
+        # The full-res fine tensors (and their 5-D conv_transpose
+        # layouts) never exist.
+        from video_restore_tpu.ops.conv import (
+            pixel_shuffle_pm,
+            up_phase_kernel_pm,
+        )
+        from video_restore_tpu.ops.sdconv import (
+            conv3x3_sd_packed,
+            make_sd_kernels,
+        )
+
+        wu1, bu1, wu2, bu2, whr, bhr, wl, bl = w
+        y1 = leaky_relu(
+            conv2d(x, up_phase_kernel_pm(wu1), jnp.tile(bu1, 4))
+        )  # (B, H, W, 256) = sd of the 2x grid
+        f1 = pixel_shuffle_pm(y1, 2)  # (B, 2H, 2W, 64) — one cheap shuffle
+        y2 = leaky_relu(
+            conv2d(f1, up_phase_kernel_pm(wu2), jnp.tile(bu2, 4))
+        )  # (B, 2H, 2W, 256) = sd of the 4x grid; stays packed
+        y3 = leaky_relu(
+            conv3x3_sd_packed(y2, make_sd_kernels(whr), bhr)
+        )  # (B, 2H, 2W, 256)
+        y4 = conv3x3_sd_packed(y3, make_sd_kernels(wl), bl)  # (..., 12)
+        return pixel_shuffle_pm(y4, 2)  # (B, 4H, 4W, 3)
+
+    tails = {"ct": tail_ct, "sd": tail_sd, "sdt": tail_sdt}
 
     # numeric check (small, fp32)
     xs = jnp.asarray(rng.random((1, 16, 20, NF)), jnp.float32)
@@ -101,6 +131,9 @@ def main():
     got = np.asarray(tail_sd(xs, ws32))
     err = np.abs(ref - got).max()
     print(f"sd-vs-ct parity maxdiff: {err:.2e}")
+    got_t = np.asarray(tail_sdt(xs, ws32))
+    err_t = np.abs(ref - got_t).max()
+    print(f"sdt-vs-ct parity maxdiff: {err_t:.2e}")
 
     for mode in modes:
         fn = tails[mode]

@@ -486,10 +486,16 @@ def _apply(
             else:
                 if stripe:
                     from video_restore_tpu.ops.pallas_stripe import (
+                        npack_selection,
+                        pack_prefix_weights,
                         prefix_rdb_weights,
                     )
 
-                    regroup = prefix_rdb_weights
+                    def regroup(p, nf, gc):
+                        ws, bs = prefix_rdb_weights(p, nf, gc)
+                        return (
+                            pack_prefix_weights(ws, npack_selection()), bs
+                        )
                 elif accum:
                     regroup = _accum_rdb_weights
                 else:
@@ -550,6 +556,8 @@ def _apply(
                     params["conv_up2"]["w"], params["conv_up2"]["b"],
                 )
             )
+    elif default_use_sd_tail():
+        return _tail_sdt(params, feat)
     else:
         feat = leaky_relu(
             upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
@@ -568,6 +576,48 @@ def _apply(
             feat, params["conv_last"]["w"], params["conv_last"]["b"]
         )
     return conv2d(feat, params["conv_last"]["w"], params["conv_last"]["b"])
+
+
+def _tail_sdt(params: Params, feat: jax.Array) -> jax.Array:
+    """sd-throughout tail (exact): phase-major upconvs emit each finer
+    grid as a channel-packed space-to-depth tensor, conv_hr/conv_last run
+    in the sd domain, and ONE 12-channel pixel_shuffle at the RGB end.
+    The full-resolution 64-channel tensors (whose 5-D conv_transpose
+    layouts taxed conv_hr/conv_last ~105 ms/frame in the round-2 trace)
+    never exist. Matches /root/reference's basicsr tail
+    (video_upscaler.py:313-321) bit-for-fp-reassociation."""
+    from video_restore_tpu.ops.conv import pixel_shuffle_pm, up_phase_kernel_pm
+    from video_restore_tpu.ops.sdconv import conv3x3_sd_packed, make_sd_kernels
+
+    def up_pm(name):
+        if f"{name}_pm" in params:  # prepared
+            k = params[f"{name}_pm"]
+        else:
+            k = up_phase_kernel_pm(params[name]["w"])
+        return k, jnp.tile(params[name]["b"], 4)
+
+    def sd_k(name):
+        if f"{name}_sd4" in params:  # prepared
+            return params[f"{name}_sd4"]
+        return make_sd_kernels(params[name]["w"])
+
+    k1, b1 = up_pm("conv_up1")
+    y = leaky_relu(conv2d(feat, k1, b1))  # sd of the 2x grid
+    if "conv_up2" in params or "conv_up2_pm" in params:
+        f1 = pixel_shuffle_pm(y, 2)  # one cheap 64-ch shuffle at 2x res
+        k2, b2 = up_pm("conv_up2")
+        y = leaky_relu(conv2d(f1, k2, b2))  # sd of the 4x grid
+    y = leaky_relu(conv3x3_sd_packed(y, sd_k("conv_hr"), params["conv_hr"]["b"]))
+    y = conv3x3_sd_packed(y, sd_k("conv_last"), params["conv_last"]["b"])
+    return pixel_shuffle_pm(y, 2)
+
+
+def default_use_sd_tail() -> bool:
+    """sd-throughout tail (:func:`_tail_sdt`) — opt-in (VRT_SD_TAIL=1)
+    until the full-program A/B on v5e lands; VRT_SD_TAIL=0 opts out."""
+    import os
+
+    return os.environ.get("VRT_SD_TAIL") == "1"
 
 
 def default_use_accum() -> bool:
@@ -638,9 +688,15 @@ def prepare_rrdbnet(
     out = {k: v for k, v in params.items() if k != "body"}
     body = {}
     if mode == "stripe":
-        from video_restore_tpu.ops.pallas_stripe import prefix_rdb_weights
+        from video_restore_tpu.ops.pallas_stripe import (
+            npack_selection,
+            pack_prefix_weights,
+            prefix_rdb_weights,
+        )
 
-        regroup = prefix_rdb_weights
+        def regroup(p, nf, gc):
+            ws, bs = prefix_rdb_weights(p, nf, gc)
+            return pack_prefix_weights(ws, npack_selection()), bs
     elif mode == "accum":
         regroup = _accum_rdb_weights
     else:
@@ -662,6 +718,15 @@ def prepare_rrdbnet(
 
         out["conv_first_sd"] = make_sd_kernels(params["conv_first"]["w"])
         out["conv_body_sd"] = make_sd_kernels(params["conv_body"]["w"])
+    if default_use_sd_tail():
+        from video_restore_tpu.ops.conv import up_phase_kernel_pm
+        from video_restore_tpu.ops.sdconv import make_sd_kernels
+
+        out["conv_up1_pm"] = up_phase_kernel_pm(params["conv_up1"]["w"])
+        if "conv_up2" in params:
+            out["conv_up2_pm"] = up_phase_kernel_pm(params["conv_up2"]["w"])
+        out["conv_hr_sd4"] = make_sd_kernels(params["conv_hr"]["w"])
+        out["conv_last_sd4"] = make_sd_kernels(params["conv_last"]["w"])
     return out
 
 

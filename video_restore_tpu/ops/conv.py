@@ -172,6 +172,34 @@ def up_phase_kernel(w: jax.Array) -> jax.Array:
     return k.reshape(3, 3, cin, cout * 4).astype(w.dtype)
 
 
+def up_phase_kernel_pm(w: jax.Array) -> jax.Array:
+    """Phase-MAJOR variant of :func:`up_phase_kernel`: output channel
+    order (a, b, o) = ph * cout + o, i.e. the fine 2x-grid encoded as a
+    channel-packed space-to-depth (sd) tensor at the input grid. This is
+    the layout ops/sdconv.py's kernels contract over, so an sd-domain
+    tail can chain without any intermediate pixel shuffles."""
+    m = np.zeros((2, 3, 3), np.float32)
+    m[0, 0, 0] = 1.0
+    m[0, 1, 1] = m[0, 1, 2] = 1.0
+    m[1, 1, 0] = m[1, 1, 1] = 1.0
+    m[1, 2, 2] = 1.0
+    mj = jnp.asarray(m)
+    k = jnp.einsum("auy,bvx,yxco->uvcabo", mj, mj, w.astype(jnp.float32))
+    kh, kw, cin, cout = w.shape
+    return k.reshape(3, 3, cin, 4 * cout).astype(w.dtype)
+
+
+def pixel_shuffle_pm(x: jax.Array, r: int = 2) -> jax.Array:
+    """Depth-to-space for PHASE-MAJOR channels (ph * c_out + o, phases
+    row-major) — the sd channel packing, as opposed to torch's
+    c_out-major order in :func:`pixel_shuffle`."""
+    n, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(n, h, w, r, r, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h, r, w, r, c_out
+    return x.reshape(n, h * r, w * r, c_out)
+
+
 def upconv2x_phase(
     x: jax.Array, w: jax.Array, b: jax.Array | None = None
 ) -> jax.Array:

@@ -108,6 +108,41 @@ def prefix_rdb_weights(p, nf: int, gc: int):
     return tuple(out), tuple(biases)
 
 
+# Which source convs the N-packed contraction pays for (by MXU lane
+# occupancy at nf=64/gc=32): s=0 (cout 192: 75->90%), s=1 (160:
+# 62.5->93.75%), s=4 (64: 50->75%). s=2 (128) is already 100% and s=3
+# (96) unchanged at 75% — packing those would only add slice overhead.
+# Measured (tools/bench_rdb.py, v5e, flagship shape): 65.1 -> 79.1 TF/s.
+NPACK_DEFAULT: Tuple[int, ...] = (0, 1, 4)
+
+
+def npack_selection() -> Tuple[int, ...]:
+    """Production N-pack selection: NPACK_DEFAULT, VRT_NPACK=0 disables,
+    VRT_NPACK=<digits> (e.g. 014) picks a custom source set."""
+    import os
+
+    v = os.environ.get("VRT_NPACK")
+    if v == "0":
+        return ()
+    if v and v.isdigit():
+        return tuple(sorted({int(c) for c in v} & {0, 1, 2, 3, 4}))
+    return NPACK_DEFAULT
+
+
+def pack_prefix_weights(ws, pack: Tuple[int, ...] = NPACK_DEFAULT):
+    """(3, 3cin, cout) -> N-packed (3cin, 3cout) for the selected source
+    convs (lane blocks ordered [dx=0 | dx=1 | dx=2]); the rest pass
+    through. Batch-agnostic (applies to (num_block, ...) stacked leaves).
+    """
+    out = []
+    for s, w in enumerate(ws):
+        if s in pack:
+            w = jnp.swapaxes(w, -3, -2)  # (..., 3cin, 3, cout)
+            w = w.reshape(w.shape[:-2] + (3 * w.shape[-1],))
+        out.append(w)
+    return tuple(out)
+
+
 def _roll_w(x, d: int):
     """Align column j to source column j+d (hardware sublane roll)."""
     if d == 0:
@@ -116,16 +151,62 @@ def _roll_w(x, d: int):
     return pltpu.roll(x, (wf - d) % wf, 1)
 
 
+# fp32 VMEM budget for one packed (rows, Wf, 3*cout) partial; bounds the
+# row chunking of the N-packed contraction (ROADMAP: the full-bh packed
+# partial at cout=192 is ~86MB and blows VMEM). VRT_NPACK_CHUNK_MB tunes
+# it for benching.
+def _npack_chunk_bytes() -> int:
+    import os
+
+    try:
+        return int(
+            float(os.environ.get("VRT_NPACK_CHUNK_MB", "10")) * 1024 * 1024
+        )
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def _conv_prefix(a, w, out_dt=jnp.float32):
-    """3x3 conv, column-aligned: (e, Wf, cin) x (3, 3cin, cout) ->
-    (e-2, Wf, cout) ``out_dt``; output row r/col j centered on input row
-    r+1 / col j. Columns {0, Wf-1} are wrapped garbage (handled by the
-    caller's frame mask). The per-dx partials stay fp32 through the
-    alignment rolls (Mosaic rotates 32-bit data only) and are cast on the
-    final sum."""
+    """3x3 conv, column-aligned: (e, Wf, cin) x weights -> (e-2, Wf, cout)
+    ``out_dt``; output row r/col j centered on input row r+1 / col j.
+    Columns {0, Wf-1} are wrapped garbage (handled by the caller's frame
+    mask). The per-dx partials stay fp32 through the alignment rolls
+    (Mosaic rotates 32-bit data only) and are cast on the final sum.
+
+    Two weight layouts select the contraction form:
+
+    - (3, 3cin, cout): one matmul per column tap dx (three (M,K)x(K,N)
+      contractions, K = 3cin from the folded row taps).
+    - (3cin, 3cout) *N-packed*: ONE (M,K)x(K,3N) matmul computes all
+      three dx partials at once (lane blocks [dx=0 | dx=1 | dx=2]), then
+      slice + roll + add. Triples the matmul's N — cout 64/160/192 runs
+      the MXU lane tiling at 50/62.5/75%; packed 192/480/576 at
+      75/93.75/90% — at the price of per-dx lane-block slices that are
+      not 128-aligned for every cout. Rows are chunked so the fp32
+      packed partial stays under _NPACK_CHUNK_BYTES.
+    """
     e, wf, cin = a.shape
     oh = e - 2
     ak = jnp.concatenate([a[0:oh], a[1 : 1 + oh], a[2 : 2 + oh]], axis=2)
+    if w.ndim == 2:  # N-packed (3cin, 3cout)
+        n = w.shape[1] // 3
+        rc = max(8, _npack_chunk_bytes() // (wf * 3 * n * 4) // 8 * 8)
+        outs = []
+        for r0 in range(0, oh, rc):
+            r1 = min(r0 + rc, oh)
+            p = lax.dot_general(
+                ak[r0:r1],
+                w,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q = None
+            for dx in range(3):
+                part = _roll_w(p[:, :, dx * n : (dx + 1) * n], dx - 1)
+                q = part if q is None else q + part
+            outs.append(q)
+        acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return acc.astype(out_dt)
     acc = None
     for dx in range(3):
         p = lax.dot_general(

@@ -97,3 +97,28 @@ def conv3x3_sd(
 def phase_map(f, *phase_tuples) -> Phases:
     """Apply an element-wise function across matching phase tensors."""
     return tuple(f(*xs) for xs in zip(*phase_tuples))
+
+
+def conv3x3_sd_packed(
+    x: jax.Array, k4: jax.Array, b: Optional[jax.Array] = None
+) -> jax.Array:
+    """Channel-packed variant of :func:`conv3x3_sd`: the 4 phases live as
+    phase-major channel blocks of ONE tensor (the layout produced by
+    ops/conv.py's ``up_phase_kernel_pm``), so an sd-domain tail chains
+    with plain NHWC convs and no tuple plumbing.
+
+    x: (N, H2, W2, 4*Cin); k4: (4, 2, 2, 4*Cin, Cout);
+    b: optional (Cout,). Returns (N, H2, W2, 4*Cout), phase-major.
+    """
+    outs = []
+    for oph, (a, bb) in enumerate(_PHASES):
+        y = lax.conv_general_dilated(
+            x, k4[oph].astype(x.dtype), (1, 1),
+            ((1 - a, a), (1 - bb, bb)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        outs.append(y.astype(x.dtype))
+    return jnp.concatenate(outs, axis=-1)
