@@ -283,3 +283,29 @@ def test_sd_tail_parity(rng, monkeypatch):
         )
         np.testing.assert_allclose(out_p, ref, rtol=2e-4, atol=2e-4)
         monkeypatch.delenv("VRT_SD_TAIL")
+
+
+def test_tail_fused_kernel_parity(rng):
+    """Fused Pallas tail (upconv2 + conv_hr + conv_last,
+    ops/pallas_tail.py) == the XLA tail, interpret mode."""
+    from video_restore_tpu.ops.conv import conv2d, leaky_relu, upconv2x
+    from video_restore_tpu.ops.pallas_tail import tail_fused
+
+    nf = 16
+    def mk(s):
+        return jnp.asarray(rng.random(s) * 0.1, jnp.float32)
+
+    wu2, bu2 = mk((3, 3, nf, nf)), mk((nf,))
+    whr, bhr = mk((3, 3, nf, nf)), mk((nf,))
+    wl, bl = mk((3, 3, nf, 3)), mk((3,))
+    xh = jnp.asarray(rng.random((2, 20, 24, nf)), jnp.float32)
+
+    f = leaky_relu(upconv2x(xh, wu2, bu2))
+    f = leaky_relu(conv2d(f, whr, bhr))
+    ref = np.asarray(conv2d(f, wl, bl))
+    got = np.asarray(
+        tail_fused(xh, wu2, bu2, whr, bhr, wl, bl, block_h=4,
+                   interpret=True)
+    )
+    assert got.shape == ref.shape == (2, 40, 48, 3)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -158,6 +158,49 @@ def main():
 
             bench(mode, step, x, wb)
 
+        elif mode.startswith("rrdbp"):
+            # rrdbp:BH — whole-RRDB fused kernel with N-packed convs
+            # (VERDICT r2 item #9: the packed form runs 9 matmuls per RDB
+            # instead of 15, which may duck the Mosaic compile cliff that
+            # stalled the unpacked 3-RDB kernel >25min)
+            from video_restore_tpu.ops.pallas_stripe import (
+                pack_prefix_weights,
+                pad_stripe_entry,
+                rrdb_stripe_padded,
+                unpad_stripe_exit,
+            )
+
+            bh = int(mode.split(":")[1]) if ":" in mode else 48
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = pack_prefix_weights(ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws) * 3,
+                tuple(jnp.asarray(b) for b in bs) * 3,
+            )
+            nreps = -(-REPS // 3)
+
+            @jax.jit
+            def step(x, wb, bh=bh, nreps=nreps):
+                xp = pad_stripe_entry(x, block_h=bh, fused=True)
+
+                def body(hc, _):
+                    return (
+                        rrdb_stripe_padded(
+                            hc, wb[0], wb[1],
+                            frame_h=H, frame_w=W, block_h=bh,
+                        ),
+                        None,
+                    )
+
+                xp = lax.scan(body, xp, None, length=nreps)[0]
+                return unpad_stripe_exit(
+                    xp, H, W, NF, block_h=bh, fused=True
+                )
+
+            saved, REPS = REPS, nreps * 3
+            bench(mode, step, x, wb)
+            REPS = saved
+
         elif mode.startswith("rrdb"):
             # rrdb:BH — whole-RRDB fused kernel in padded stripe form;
             # REPS scans one RRDB (3 RDB-equivalents) per rep, normalized

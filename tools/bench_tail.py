@@ -122,7 +122,16 @@ def main():
         y4 = conv3x3_sd_packed(y3, make_sd_kernels(wl), bl)  # (..., 12)
         return pixel_shuffle_pm(y4, 2)  # (B, 4H, 4W, 3)
 
-    tails = {"ct": tail_ct, "sd": tail_sd, "sdt": tail_sdt}
+    def tail_tk(x, w):
+        # fused Pallas tail kernel (ops/pallas_tail.py): upconv1 in XLA,
+        # then upconv2 + conv_hr + conv_last in one stripe kernel
+        from video_restore_tpu.ops.pallas_tail import tail_fused
+
+        wu1, bu1, wu2, bu2, whr, bhr, wl, bl = w
+        f = leaky_relu(upconv2x(x, wu1, bu1))
+        return tail_fused(f, wu2, bu2, whr, bhr, wl, bl)
+
+    tails = {"ct": tail_ct, "sd": tail_sd, "sdt": tail_sdt, "tk": tail_tk}
 
     # numeric check (small, fp32)
     xs = jnp.asarray(rng.random((1, 16, 20, NF)), jnp.float32)

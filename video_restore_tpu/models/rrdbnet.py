@@ -558,6 +558,18 @@ def _apply(
             )
     elif default_use_sd_tail():
         return _tail_sdt(params, feat)
+    elif default_use_tail_kernel() and "conv_up2" in params:
+        from video_restore_tpu.ops.pallas_tail import tail_fused
+
+        feat = leaky_relu(
+            upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
+        )
+        return tail_fused(
+            feat,
+            params["conv_up2"]["w"], params["conv_up2"]["b"],
+            params["conv_hr"]["w"], params["conv_hr"]["b"],
+            params["conv_last"]["w"], params["conv_last"]["b"],
+        )
     else:
         feat = leaky_relu(
             upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
@@ -613,11 +625,22 @@ def _tail_sdt(params: Params, feat: jax.Array) -> jax.Array:
 
 
 def default_use_sd_tail() -> bool:
-    """sd-throughout tail (:func:`_tail_sdt`) — opt-in (VRT_SD_TAIL=1)
-    until the full-program A/B on v5e lands; VRT_SD_TAIL=0 opts out."""
+    """sd-throughout XLA tail (:func:`_tail_sdt`) — opt-in
+    (VRT_SD_TAIL=1). Measured 0.907 vs 0.983 fps/chip on the v5e
+    flagship: XLA re-layouts the intermediates anyway, so it stays a
+    documented dead-end (same fate as round-2's phase-form upconv)."""
     import os
 
     return os.environ.get("VRT_SD_TAIL") == "1"
+
+
+def default_use_tail_kernel() -> bool:
+    """Fused Pallas tail (ops/pallas_tail.py: upconv2 + conv_hr +
+    conv_last in one stripe kernel) — opt-in via VRT_TAIL_KERNEL=1
+    pending the full-program A/B; VRT_TAIL_KERNEL=0 opts out."""
+    import os
+
+    return os.environ.get("VRT_TAIL_KERNEL") == "1"
 
 
 def default_use_accum() -> bool:

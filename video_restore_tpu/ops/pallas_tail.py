@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: fused RRDBNet tail (upconv2 + conv_hr + conv_last).
+
+The round-3 flagship trace put the tail at ~98 ms/frame: upconv2's
+conv_transpose at 42 TF/s (25.8 ms), conv_hr at 65 TF/s in XLA's 5-D conv
+layout (37.6 ms), conv_last at 4 TF/s (28.7 ms — cout=3 is 2.3% MXU lane
+occupancy), plus ~6 ms of layout copies. The XLA-level sd-tail rewrite
+(models/rrdbnet.py _tail_sdt) measured a net LOSS (0.983 -> 0.907
+fps/chip): XLA re-layouts the intermediates anyway. This kernel fuses the
+three stages in VMEM with explicit layouts instead:
+
+1. **upconv2 as a phase-form stripe conv.** The nearest-2x-up + 3x3 conv
+   is one coarse-grid 3x3 conv to 4*cout phase-major channels
+   (ops/conv.py up_phase_kernel_pm), run in stripe form (dy folded into
+   K=192, three dx matmuls at N=256 = 100% lane occupancy, hardware
+   rolls for column alignment).
+
+2. **W-sd fine representation.** Mosaic cannot split the 256-lane dim
+   into (2, 2, 64) (unsupported shape cast), so the fine grid is only
+   HALF-unpacked: the two row phases are interleaved through the free
+   leading dimension (128-aligned lane slices + a leading-dims reshape),
+   while the two column phases stay lane-packed as (b, o) channel pairs
+   — each W-sd pixel j holds fine columns 2j and 2j+1.
+
+3. **W-sd fine convs.** A fine 3x3 conv in this layout contracts
+   K = 3(dy) x 128((b'', o'')) = 384 and writes both column phases at
+   once. Output tap offsets collapse to coarse column shifts
+   dv in {-1, 0, +1}; packing dv into N gives one (M, 384) x (384, 3N)
+   matmul per conv whose per-dv output blocks are 128-lane ALIGNED
+   (conv_hr: N = 3x128; conv_last: N = 3x6), then slice + hardware-roll
+   + add. The dv=+-1 blocks are half-sparse (structural zeros), so the
+   conv_hr matmul pays a 2.0x MAC tax at 100%/100% occupancy =
+   50% effective useful throughput — still ~1.5x XLA's 33%, with the
+   conv_last and all layout copies riding along for free.
+
+4. Output is fine-rows x W-sd RGB (6 channels); one cheap 6-channel
+   reshape in XLA restores (B, 4H, 4W, 3).
+
+Everything is masked to the frame exactly as ops/pallas_stripe.py does,
+so SAME-conv edge semantics match basicsr's tail bit-for-reassociation
+(/root/reference/video_upscaler.py:313-321 via basicsr RRDBNet).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_restore_tpu.ops.pallas_stripe import _PADL, _roll_w
+
+_HALO2 = 2  # coarse-row halo: 1 (upconv 3x3) + 1 (two fine 3x3s = 2 fine rows)
+
+
+def fold_dy(w: jax.Array) -> jax.Array:
+    """(3, 3, cin, cout) -> (3, 3*cin, cout): dx-major, dy folded into K
+    (dy-major within K), matching ops/pallas_stripe._conv_prefix."""
+    w = jnp.swapaxes(w, 0, 1)  # (kw, kh, cin, cout)
+    return w.reshape(3, w.shape[1] * w.shape[2], w.shape[3])
+
+
+def wsd_kernel(w: np.ndarray | jax.Array) -> jax.Array:
+    """(3, 3, cin, cout) fine conv kernel -> W-sd packed (3*2*cin,
+    3*(2*cout)) matrix.
+
+    K index = dy*(2*cin) + b''*cin + o''; N index = (dv+1)*(2*cout)
+    + b'*cout + o'. Derivation: fine output col 2j+b' tap dx reads fine
+    col 2j + b' + dx - 1 = 2(j+dv) + b'' with b'' = (b'+dx-1) mod 2,
+    dv = floor((b'+dx-1)/2).
+    """
+    _, _, cin, cout = w.shape
+    w = w.astype(jnp.float32)
+    m = jnp.zeros((3 * 2 * cin, 3 * 2 * cout), jnp.float32)
+    for bp in (0, 1):
+        for dx in (0, 1, 2):
+            t = bp + dx - 1
+            bpp, dv = t % 2, t // 2  # python floor-div: -1 -> (1, -1)
+            for dy in (0, 1, 2):
+                krow = dy * 2 * cin + bpp * cin
+                ncol = (dv + 1) * 2 * cout + bp * cout
+                m = m.at[
+                    krow : krow + cin, ncol : ncol + cout
+                ].add(w[dy, dx])
+    return m
+
+
+def _conv_chunked(a, w, taps, post, rc: int):
+    """Chained stripe conv with per-row-chunk postprocessing.
+
+    a: (e, Wf, cin); w: dx/dv-packed (3*cin, 3*n) matrix; ``taps`` are
+    the column shifts of the three N blocks (conv form: (-1, 0, 1) after
+    dx alignment; W-sd form: (-1, 0, 1) coarse dv). ``post(f32_chunk,
+    row0) -> chunk`` runs while only one fp32 chunk is live, so the
+    full-stripe fp32 accumulator never exists. Returns (e-2, Wf, n).
+    """
+    e, wf, cin = a.shape
+    oh = e - 2
+    n = w.shape[1] // 3
+    outs = []
+    for r0 in range(0, oh, rc):
+        r1 = min(r0 + rc, oh)
+        ak = jnp.concatenate(
+            [a[r0:r1], a[r0 + 1 : r1 + 1], a[r0 + 2 : r1 + 2]], axis=2
+        )
+        p = lax.dot_general(
+            ak, w,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q = None
+        for i, d in enumerate(taps):
+            part = _roll_w(p[:, :, i * n : (i + 1) * n], d)
+            q = part if q is None else q + part
+        outs.append(post(q, r0))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _interleave_rows(y: jax.Array) -> jax.Array:
+    """(r, j, 2*c) with (a, ...) lane blocks -> (2r, j, c): row phases
+    move to the free leading dim (128-aligned lane slices only)."""
+    rows, wf, c2 = y.shape
+    c = c2 // 2
+    a0 = y[:, :, :c]
+    a1 = y[:, :, c:]
+    t = jnp.stack([a0, a1], axis=1)  # (r, 2, j, c) — leading dims
+    return t.reshape(2 * rows, wf, c)
+
+
+def _tail_kernel(
+    xh_ref,  # (B, H2 + pads, Wf2, 128) ANY/HBM — 2x-grid activations
+    ku2,  # (192, 768) dx-packed phase-form upconv2 kernel, VMEM
+    khr,  # (384, 384) W-sd conv_hr kernel
+    klast,  # (384, 18) W-sd conv_last kernel
+    bu2, bhr, blast,  # biases (1, 1, 256|128|6) fp32
+    out_ref,  # (1, 2*bh2, W2, 6) VMEM block — fine rows x W-sd RGB
+    xblk,  # scratch (2, bh2 + 2*_HALO2, Wf2, 128) double-buffer
+    sem,  # DMA semaphores (2,)
+    *,
+    bh2: int,
+    h2: int,
+    w2: int,
+    wf2: int,
+    nf: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh2 + 2 * _HALO2
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xh_ref.at[bb, pl.ds(ii * bh2, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    x = xblk[m % 2][:, :, :nf]
+    dt = x.dtype
+    c0 = si * bh2 - 1  # coarse frame row of y2 row 0
+
+    cols2 = lax.broadcasted_iota(jnp.int32, (1, wf2, 1), 1)
+    col2_ok = (cols2 >= _PADL) & (cols2 < _PADL + w2)
+
+    def post_u2(q, r0):
+        rows = lax.broadcasted_iota(jnp.int32, (q.shape[0], 1, 1), 0)
+        ok = ((rows + c0 + r0 >= 0) & (rows + c0 + r0 < h2)) & col2_ok
+        q = jax.nn.leaky_relu(q + bu2[0], 0.2)
+        return jnp.where(ok, q, 0.0).astype(dt)
+
+    # upconv2 (phase-major (a, b, o)): dx-packed like the body kernels
+    y2 = _conv_chunked(x, ku2[:], (-1, 0, 1), post_u2, rc)
+    # fine-rows x W-sd: (2*(bh2+2), wf2, 128), channels (b, o);
+    # row g <-> fine frame row 2*c0 + g
+    f = _interleave_rows(y2)
+
+    def post_hr(q, r0):
+        rows = lax.broadcasted_iota(jnp.int32, (q.shape[0], 1, 1), 0)
+        rf = rows + 2 * c0 + 1 + r0
+        ok = ((rf >= 0) & (rf < 2 * h2)) & col2_ok
+        q = jax.nn.leaky_relu(q + bhr[0], 0.2)
+        return jnp.where(ok, q, 0.0).astype(dt)
+
+    hr = _conv_chunked(f, khr[:], (-1, 0, 1), post_hr, rc)
+
+    def post_last(q, r0):
+        return (q + blast[0]).astype(dt)
+
+    rgb = _conv_chunked(hr, klast[:], (-1, 0, 1), post_last, rc)
+    out_ref[0] = rgb[:, _PADL : _PADL + w2, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_h", "interpret", "row_chunk")
+)
+def tail_fused(
+    xh: jax.Array,
+    w_up2: jax.Array,
+    b_up2: jax.Array,
+    w_hr: jax.Array,
+    b_hr: jax.Array,
+    w_last: jax.Array,
+    b_last: jax.Array,
+    *,
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused tail: xh (B, H2, W2, nf) — the 2x grid after
+    lrelu(upconv1) — -> (B, 2*H2, 2*W2, 3) RGB.
+
+    Equivalent to::
+
+        f = leaky_relu(upconv2x(xh, w_up2, b_up2))
+        f = leaky_relu(conv2d(f, w_hr, b_hr))
+        return conv2d(f, w_last, b_last)
+    """
+    from video_restore_tpu.ops.conv import up_phase_kernel_pm
+    from video_restore_tpu.ops.pallas_stripe import pack_prefix_weights
+
+    b, h2, w2, nf = xh.shape
+    bh2 = block_h or 8
+    wf2 = _PADL + w2 + _PADL
+    wf2 += (8 - wf2 % 8) % 8
+    cpad = (128 - nf % 128) % 128
+    hp2 = h2 + (bh2 - h2 % bh2) % bh2
+    nstripes = hp2 // bh2
+    xp = jnp.pad(
+        xh,
+        (
+            (0, 0),
+            (_HALO2, _HALO2 + hp2 - h2),
+            (_PADL, wf2 - w2 - _PADL),
+            (0, cpad),
+        ),
+    )
+
+    ku2 = pack_prefix_weights(
+        [fold_dy(up_phase_kernel_pm(w_up2))], pack=(0,)
+    )[0].astype(xh.dtype)  # (192, 768)
+    khr = wsd_kernel(w_hr).astype(xh.dtype)  # (384, 384)
+    klast = wsd_kernel(w_last).astype(xh.dtype)  # (384, 18)
+    bu2 = jnp.tile(b_up2, 4).reshape(1, 1, -1).astype(jnp.float32)
+    bhr = jnp.tile(b_hr, 2).reshape(1, 1, -1).astype(jnp.float32)
+    blast = jnp.tile(b_last, 2).reshape(1, 1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _tail_kernel,
+        bh2=bh2, h2=h2, w2=w2, wf2=wf2, nf=nf,
+        nstripes=nstripes, nb=b, rc=row_chunk,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, 2 * bh2, w2, 6), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * hp2, w2, 6), xh.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh2 + 2 * _HALO2, wf2, nf + cpad), xh.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, ku2, khr, klast, bu2, bhr, blast)
+    # (B, 2*H2, W2, (b, rgb)) -> (B, 2*H2, 2*W2, 3): adjacent W-sd
+    # channel pairs ARE adjacent fine columns
+    out = out[:, : 2 * h2]
+    return out.reshape(b, 2 * h2, 2 * w2, 3)
