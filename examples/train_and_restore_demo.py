@@ -96,7 +96,9 @@ def main() -> int:
     from video_restore_tpu.models.srvgg import apply_srvgg
 
     trainer = Trainer(
-        lambda p, x: apply_srvgg(p, x, spec), p0, scale,
+        # stripe=False: training must stay on the differentiable XLA
+        # path (the Pallas kernel defines no VJP)
+        lambda p, x: apply_srvgg(p, x, spec, stripe=False), p0, scale,
         learning_rate=2e-3,
     )
     # train on clean patches (degrade-on-the-fly mirrors the degradation)

@@ -90,3 +90,30 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_grad_with_kernels_forced(monkeypatch, rng):
+    """Training must not autodiff through the Pallas kernels: with the
+    TPU production defaults forced on (VRT_STRIPE/VRT_TAIL_KERNEL=1),
+    the differentiable apply path still takes gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_restore_tpu.models.rrdbnet import RRDBNetSpec, init_rrdbnet
+    from video_restore_tpu.models.zoo import ModelHandle
+
+    monkeypatch.setenv("VRT_STRIPE", "1")
+    monkeypatch.setenv("VRT_TAIL_KERNEL", "1")
+    spec = RRDBNetSpec(num_feat=8, num_block=1, num_grow_ch=4)
+    params = init_rrdbnet(jax.random.PRNGKey(0), spec)
+    m = ModelHandle("t", spec, params)
+    fn = m.apply_fn(differentiable=True)
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+
+    def loss(p):
+        return jnp.mean(fn(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+    assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in leaves)

@@ -396,7 +396,7 @@ def default_use_pallas() -> bool:
     jax.jit,
     static_argnames=(
         "scale", "naive", "use_pallas", "sd", "accum", "stripe", "prepared",
-        "unshuffle",
+        "unshuffle", "differentiable",
     ),
 )
 def _apply(
@@ -410,6 +410,7 @@ def _apply(
     stripe: bool = False,
     prepared: bool = False,
     unshuffle: bool = True,
+    differentiable: bool = False,
 ) -> jax.Array:
     if unshuffle and scale == 2:
         x = pixel_unshuffle(x, 2)
@@ -556,9 +557,13 @@ def _apply(
                     params["conv_up2"]["w"], params["conv_up2"]["b"],
                 )
             )
-    elif default_use_sd_tail():
+    elif not differentiable and default_use_sd_tail():
         return _tail_sdt(params, feat)
-    elif default_use_tail_kernel() and "conv_up2" in params:
+    elif (
+        not differentiable
+        and default_use_tail_kernel()
+        and "conv_up2" in params
+    ):
         from video_restore_tpu.ops.pallas_tail import tail_fused
 
         feat = leaky_relu(
@@ -636,11 +641,21 @@ def default_use_sd_tail() -> bool:
 
 def default_use_tail_kernel() -> bool:
     """Fused Pallas tail (ops/pallas_tail.py: upconv2 + conv_hr +
-    conv_last in one stripe kernel) — opt-in via VRT_TAIL_KERNEL=1
-    pending the full-program A/B; VRT_TAIL_KERNEL=0 opts out."""
+    conv_last in one stripe kernel) — production default on TPU
+    (flagship 0.983 -> 0.992 fps/chip; isolated tail 59 -> 41 ms/call,
+    partly offset by the relayout into the kernel). VRT_TAIL_KERNEL=0
+    opts out, =1 forces on non-TPU backends (interpret-mode tests)."""
     import os
 
-    return os.environ.get("VRT_TAIL_KERNEL") == "1"
+    v = os.environ.get("VRT_TAIL_KERNEL")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def default_use_accum() -> bool:
@@ -775,6 +790,7 @@ def apply_rrdbnet(
     naive: bool = False,
     use_pallas: "bool | None" = None,
     sd: "bool | None" = None,
+    differentiable: bool = False,
 ) -> jax.Array:
     """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
 
@@ -785,7 +801,17 @@ def apply_rrdbnet(
     VRT_SD=1 runs the stem + body in the space-to-depth domain
     (ops/sdconv.py), and VRT_PALLAS=1 uses the fused Pallas RDB kernel;
     both measured slower than the regrouped path in round 1 (see
-    BENCH_NOTES.md dead ends)."""
+    BENCH_NOTES.md dead ends).
+
+    ``differentiable=True`` (training) forces the pure-XLA paths: the
+    Pallas kernels (stripe body, fused tail) define no VJP, so autodiff
+    through the TPU production defaults would fail."""
+    if differentiable:
+        return _apply(
+            params, x, spec.scale,
+            naive=naive, use_pallas=False, sd=False, accum=False,
+            stripe=False, unshuffle=spec.unshuffle, differentiable=True,
+        )
     if use_pallas is None:
         use_pallas = not naive and default_use_pallas()
     if sd is None:

@@ -101,11 +101,20 @@ class ModelHandle:
             return apply_rrdbnet(self.params, x, self.spec)
         return apply_srvgg(self.params, x, self.spec)
 
-    def apply_fn(self) -> Callable[[Any, jax.Array], jax.Array]:
-        """(params, x) -> y closure over the static spec (for pjit/scan)."""
+    def apply_fn(
+        self, differentiable: bool = False
+    ) -> Callable[[Any, jax.Array], jax.Array]:
+        """(params, x) -> y closure over the static spec (for pjit/scan).
+
+        ``differentiable=True`` (training) forces pure-XLA execution —
+        the Pallas production kernels define no VJP."""
         spec = self.spec
         if isinstance(spec, RRDBNetSpec):
-            return lambda p, x: apply_rrdbnet(p, x, spec)
+            return lambda p, x: apply_rrdbnet(
+                p, x, spec, differentiable=differentiable
+            )
+        if differentiable:  # SRVGG's stripe kernel has no VJP either
+            return lambda p, x: apply_srvgg(p, x, spec, stripe=False)
         return lambda p, x: apply_srvgg(p, x, spec)
 
     def prepared(self, dtype) -> "tuple[Any, Callable]":

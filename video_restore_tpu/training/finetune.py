@@ -95,7 +95,8 @@ def main(argv=None) -> int:
     print(f"  {hr.shape[0]} patches of {args.patch_size}px")
 
     trainer = Trainer(
-        model.apply_fn(), model.params, model.scale, learning_rate=args.lr
+        model.apply_fn(differentiable=True), model.params, model.scale,
+        learning_rate=args.lr
     )
     print(f"training {args.steps} steps...")
     params = trainer.fit_patches(hr, args.steps, seed=args.seed)
