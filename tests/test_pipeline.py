@@ -85,6 +85,33 @@ def test_batch_dir(tmp_path, tiny_frames):
     assert (outdir / "b_upscaled.npz").exists()
 
 
+def test_batch_dir_mixed_resolutions_prewarm(tmp_path, tiny_frames):
+    """Batch mode over mixed resolutions: the bucket prewarm compiles
+    every distinct (H, W) program up front (parallel threads), and the
+    run itself produces correct outputs for both buckets."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    _write_clip(indir / "a.npz", tiny_frames[:4])
+    _write_clip(indir / "b.npz", tiny_frames[:4, :24, :32])
+    r = VideoRestorer(_cfg(), model=_tiny_model())
+
+    # the prewarm alone must populate both resolution buckets
+    pairs = [
+        (indir / "a.npz", outdir / "a_upscaled.npz"),
+        (indir / "b.npz", outdir / "b_upscaled.npz"),
+    ]
+    r._warmup_buckets(pairs)
+    assert len(r._upscalers) == 2
+
+    ok, total = r.process_batch_dir(indir, outdir, show_progress=False)
+    assert (ok, total) == (2, 2)
+    assert len(r._upscalers) == 2  # no extra buckets beyond the prewarm
+    for name, (h, w) in (("a", (48, 64)), ("b", (24, 32))):
+        out = np.load(outdir / f"{name}_upscaled.npz")["frames"]
+        assert out.shape == (4, h * 2, w * 2, 3)
+
+
 def test_resume_y4m(tmp_path, tiny_frames):
     """Kill-and-resume: truncate a partial output, resume, and the result
     must equal a clean full run."""

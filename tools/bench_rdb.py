@@ -102,13 +102,16 @@ def main():
 
         elif mode.startswith("stripep"):
             # stripep:BH[:s0s1s4] — N-packed dx contraction (one
-            # (M,K)x(K,3N) matmul + slice/roll/add per packed conv)
+            # (M,K)x(K,3N) matmul + slice/roll/add per packed conv);
+            # stripep16:BH runs the same with a bf16 accumulator (halves
+            # the fp32 accumulator VMEM, the bh=96 blocker)
             from video_restore_tpu.ops.pallas_stripe import (
                 NPACK_DEFAULT,
                 pack_prefix_weights,
             )
 
             parts = mode.split(":")
+            a16 = mode.startswith("stripep16")
             bh = int(parts[1]) if len(parts) > 1 else 64
             pack = (
                 tuple(int(c) for c in parts[2])
@@ -123,10 +126,12 @@ def main():
             )
 
             @jax.jit
-            def step(x, wb, bh=bh):
+            def step(x, wb, bh=bh, a16=a16):
                 def body(h, _):
                     return (
-                        rdb_stripe(h, wb[0], wb[1], block_h=bh),
+                        rdb_stripe(
+                            h, wb[0], wb[1], block_h=bh, acc_bf16=a16
+                        ),
                         None,
                     )
 

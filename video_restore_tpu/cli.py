@@ -68,6 +68,11 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--batch", action="store_true",
                    help="process a directory of videos")
+    p.add_argument("--no-warmup", dest="batch_warmup",
+                   action="store_false",
+                   help="skip the batch-mode bucket prewarm (by default "
+                        "all distinct resolutions are probed and their "
+                        "programs compiled in parallel up front)")
     p.add_argument("--multihost", action="store_true",
                    help="join a jax.distributed multi-host runtime and "
                         "shard --batch videos across hosts (coordinator "
@@ -196,6 +201,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         num_devices=_resolve_devices(args.devices),
         shard_mode=args.shard_mode,
         frames_per_batch=args.frames_per_batch,
+        batch_warmup=args.batch_warmup,
         resume=args.resume,
         segment_frames=args.segment_frames,
         models_dir=args.models_dir,

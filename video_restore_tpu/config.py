@@ -104,6 +104,11 @@ class RestoreConfig:
     prefetch_frames: int = 32
     frames_per_batch: int = 0  # 0 = one frame per device per step
     max_inflight_batches: int = 2  # double-buffered device feed
+    # batch mode: probe every video up front and compile all distinct
+    # resolution buckets in parallel threads (XLA compiles release the
+    # GIL) instead of paying each multi-minute TPU compile serially at
+    # the first frame of each new resolution.
+    batch_warmup: bool = True
 
     # --- parallelism (replaces gpu_ids, video_upscaler.py:117-118) ---
     num_devices: int = 0  # 0 = all visible JAX devices

@@ -293,3 +293,16 @@ class ShardedUpscaler:
     def stage(self, frames_u8: np.ndarray) -> jax.Array:
         """Pre-place a batch on the mesh (overlap H2D with compute)."""
         return jax.device_put(jnp.asarray(frames_u8), self._frame_shard)
+
+    def warmup(self) -> None:
+        """Compile (and run once, on a zero batch) this bucket's step.
+
+        Populates the jit executable cache so the first real batch does
+        not pay the multi-minute TPU compile. Thread-safe against other
+        buckets warming concurrently — XLA compilation releases the GIL,
+        so batch mode warms all distinct resolutions in parallel threads
+        (pipeline.runner.VideoRestorer._warmup_buckets)."""
+        b = self._batch
+        x = np.zeros((b, self.grid.height, self.grid.width, 3), np.uint8)
+        jax.block_until_ready(self.process_batch(x))
+        self.reset_temporal()

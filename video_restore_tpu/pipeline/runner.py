@@ -600,6 +600,43 @@ class VideoRestorer:
             manifest_path.write_text(json.dumps({"frames_done": frames_done}))
 
     # ------------------------------------------------------------------
+    def _warmup_buckets(self, pairs) -> None:
+        """Batch-mode bucket prewarm: probe every (input, output) pair,
+        collect the distinct (height, width, yuv) resolution buckets, and
+        compile them all up front in parallel threads. A batch job over
+        mixed resolutions otherwise pays each multi-minute TPU compile
+        serially, at the first frame of each new resolution; XLA compiles
+        release the GIL, so N buckets warm in ~1 compile's wall time.
+        Skipped when fewer than two cold buckets exist (the lazy path is
+        then just as fast)."""
+        cfg = self.config
+        keys = {}
+        for v, out in pairs:
+            try:
+                info = probe(v)
+            except Exception:
+                continue  # unprobeable input fails in the main loop too
+            out_w = int(info.width * cfg.outscale)
+            out_h = int(info.height * cfg.outscale)
+            yuv = self._yuv_eligible(out, info, out_w, out_h)
+            keys[(info.height, info.width, yuv)] = None
+        cold = [k for k in keys if k not in self._upscalers]
+        if len(cold) < 2:
+            return
+        ups = [self._upscaler_for(h, w, yuv_out=yv) for h, w, yv in cold]
+        log.info(
+            "[batch] warming %d resolution buckets in parallel", len(ups)
+        )
+        t0 = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=len(ups), thread_name_prefix="warmup"
+        ) as ex:
+            for _ in ex.map(lambda u: u.warmup(), ups):
+                pass
+        log.info("[batch] warmup done in %.1fs", time.time() - t0)
+
     def process_batch_dir(
         self,
         input_dir: Union[str, Path],
@@ -637,8 +674,13 @@ class VideoRestorer:
         ok = 0
         fmt = getattr(self.config, "output_format", None)
         suffix_override = "." + fmt.lstrip(".") if fmt else None
-        for v in mine:
-            out = outdir / f"{v.stem}_upscaled{suffix_override or v.suffix}"
+        pairs = [
+            (v, outdir / f"{v.stem}_upscaled{suffix_override or v.suffix}")
+            for v in mine
+        ]
+        if getattr(self.config, "batch_warmup", True):
+            self._warmup_buckets(pairs)
+        for v, out in pairs:
             log.info("[batch] %s -> %s", v.name, out.name)
             if self.process_video(v, out, show_progress=show_progress):
                 ok += 1
