@@ -147,7 +147,9 @@ def test_batch_not_divisible_raises(tiny_frames):
 from video_restore_tpu.parallel.dispatch import StepConfig, restore_step
 
 
-def _identity_step(frames_u8, carry, *, strength=0.5, n_shards=1, cut=0.12):
+def _identity_step(
+    frames_u8, carry, *, strength=0.5, n_shards=1, cut=0.12, cut_hist=0.35
+):
     """restore_step with a nearest-upsample 'model' so pixel values are
     exactly predictable."""
     grid = TileGrid.build(
@@ -160,7 +162,8 @@ def _identity_step(frames_u8, carry, *, strength=0.5, n_shards=1, cut=0.12):
         )
 
     cfg = StepConfig(
-        temporal=True, temporal_strength=strength, scene_cut_thresh=cut
+        temporal=True, temporal_strength=strength, scene_cut_thresh=cut,
+        scene_cut_hist=cut_hist,
     )
     return restore_step(
         None,
@@ -216,6 +219,56 @@ def test_temporal_scene_cut_passthrough():
     # and the carry after the cut is the new scene's frame
     np.testing.assert_array_equal(
         np.asarray(carry2["frame"][0]), np.asarray(out_cut)[0]
+    )
+
+
+def test_scene_cut_hist_vetoes_motion_false_cut():
+    """A borderline mean-delta trip caused by localized motion must NOT
+    reset the EMA when the luma histogram barely changes (ROADMAP: cut
+    detection beyond the mean-delta gate); with the histogram detector
+    disabled the same frames false-cut."""
+    h, w = 32, 32
+    base = np.full((1, h, w, 3), 100, np.uint8)
+    # next frame: static background, a 4-row strip at +2 (near-static
+    # content whose blending is observable), and a 16x16 box jumping to
+    # 255 — mean delta ~0.15 > 0.12 trips the mean-delta test, but only
+    # ~28% of histogram mass moves (tvd < 0.35)
+    nxt = base.copy()
+    nxt[:, 0:4, :, :] += 2
+    nxt[:, 8:24, 8:24, :] = 255
+
+    def run(cut_hist):
+        carry = _fresh_carry(1, h * 2, w * 2)
+        _, carry = _identity_step(base, carry, strength=1.0)
+        out, _ = _identity_step(
+            nxt, carry, strength=1.0, cut_hist=cut_hist
+        )
+        return np.asarray(out)
+
+    raw = np.asarray(nxt).repeat(2, 1).repeat(2, 2)
+    out_hist = run(cut_hist=0.35)
+    out_nohist = run(cut_hist=0.0)
+    # hist veto: background pixels blend toward 100 (output < raw 102)
+    assert out_hist[0, 0, 0, 0] < 102
+    # moving box passes through regardless (pixel motion gate)
+    assert out_hist[0, 32, 32, 0] == 255
+    # without the histogram, the borderline trip hard-cuts: bit-exact raw
+    np.testing.assert_array_equal(out_nohist, raw)
+
+
+def test_scene_cut_hist_confirms_real_cut():
+    """A genuine content change in the borderline-delta band (mean delta
+    between 1x and 2.5x the threshold) still cuts: the histogram moves
+    with the content."""
+    h, w = 32, 32
+    a = np.full((1, h, w, 3), 100, np.uint8)
+    b = np.full((1, h, w, 3), 150, np.uint8)  # delta 0.196, tvd ~1.0
+
+    carry = _fresh_carry(1, h * 2, w * 2)
+    _, carry = _identity_step(a, carry, strength=1.0)
+    out, _ = _identity_step(b, carry, strength=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(b).repeat(2, 1).repeat(2, 2)
     )
 
 

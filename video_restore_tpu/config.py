@@ -76,6 +76,11 @@ class RestoreConfig:
     temporal: bool = True  # temporal consistency when enhanced (README.md:9)
     temporal_strength: float = 0.3
     scene_cut_thresh: float = 0.12  # mean luma delta that resets the EMA
+    # luma-histogram total-variation distance that resets the EMA (0 = off).
+    # Motion-invariant: a panning/zooming scene keeps its histogram while a
+    # real cut replaces it, so this fires on content change where the mean
+    # luma delta above would need fast motion to trip.
+    scene_cut_hist: float = 0.35
     # on-device RGB->I420 conversion when the sink takes planar yuv directly
     # (halves D2H traffic; "auto" enables when compatible, "off" disables)
     device_yuv: str = "auto"

@@ -23,10 +23,14 @@ displacement-invariant — the exp length-scale is divided by the gap, so a
 carry g frames old must clear a g-times stricter static-ness bar; content
 moving at any steady speed sees the same effective gate as in the
 sequential case, and truly static regions (where the EMA has any effect)
-are identical g frames apart. A per-frame scene-cut detector (mean luma
-delta > scene_cut_thresh) hard-resets the blend. The carry is an explicit
-{frame, valid} pair, so an all-black previous frame is still a valid
-previous frame (it is not a stream-start sentinel).
+are identical g frames apart. A per-frame scene-cut detector hard-resets
+the blend: a mean-luma-delta trip (> scene_cut_thresh) confirmed by a
+luma-histogram change (total-variation distance > scene_cut_hist — the
+histogram is invariant to pans/zooms, so fast motion of one scene no
+longer false-cuts), with an overwhelming delta (> 2.5x thresh) cutting on
+its own. The carry is an explicit {frame, valid} pair, so an all-black
+previous frame is still a valid previous frame (it is not a stream-start
+sentinel).
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ class StepConfig:
     temporal: bool = False
     temporal_strength: float = 0.3
     scene_cut_thresh: float = 0.12  # mean |delta| (0-1 units) => hard reset
+    scene_cut_hist: float = 0.35  # luma-hist TV distance => hard reset (0=off)
     yuv420_out: bool = False  # emit planar I420 on-device (halves D2H)
     dither: bool = False  # ordered-dithered 8-bit quantization (anti-band)
 
@@ -80,8 +85,29 @@ class StepConfig:
             temporal=cfg.temporal,
             temporal_strength=cfg.temporal_strength,
             scene_cut_thresh=cfg.scene_cut_thresh,
+            scene_cut_hist=getattr(cfg, "scene_cut_hist", 0.35),
             dither=dither,
         )
+
+
+_HIST_BINS = 32
+
+
+def _luma_hist(x: jax.Array) -> jax.Array:
+    """Soft-binned luma histogram: (..., H, W, 3) float 0-1 ->
+    (..., _HIST_BINS) normalized. Gather-free (compare/relu-reduce, same
+    family as the CLAHE histogram in ops/post.py) and soft-binned with a
+    triangular kernel so a small global luma shift moves mass
+    proportionally between adjacent bins instead of cliff-jumping."""
+    luma = (
+        0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    )  # (..., H, W)
+    pos = jnp.clip(
+        jnp.clip(luma, 0.0, 1.0) * _HIST_BINS - 0.5, 0.0, _HIST_BINS - 1.0
+    )  # edge clamp: boundary pixels keep full mass in the edge bin
+    centers = jnp.arange(_HIST_BINS, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - centers))
+    return w.mean(axis=(-3, -2))  # (..., BINS), sums to ~1
 
 
 def restore_step(
@@ -145,23 +171,52 @@ def restore_step(
             [carry["valid"][None], jnp.ones((k - 1, n_shards), jnp.float32)]
         )
 
+        # per-frame luma histograms for the cut detector, vectorized once
+        # outside the scan; the scan carries the previous frame's histogram
+        # alongside the frame itself (ROADMAP: "scene-cut detection beyond
+        # the motion-adaptive EMA gate" — the histogram is invariant to
+        # pans/zooms, so it separates content change from fast motion,
+        # which the mean-delta test alone cannot)
+        use_hist = step_cfg.scene_cut_hist > 0
+        if use_hist:
+            h_all = _luma_hist(yt)  # (k, D, BINS)
+            h_prev = _luma_hist(prev)  # (D, BINS)
+        else:
+            h_all = jnp.zeros(yt.shape[:2] + (1,), jnp.float32)
+            h_prev = jnp.zeros((n_shards, 1), jnp.float32)
+
         # EMA elementwise over the (sharded) device axis, scanned over time
         def scan_fn(c, xs):
-            fr, gap, valid = xs
-            diff = jnp.abs(fr - c).mean(axis=-1, keepdims=True)
+            cf, ch = c
+            fr, hf, gap, valid = xs
+            diff = jnp.abs(fr - cf).mean(axis=-1, keepdims=True)
             # displacement-invariant gate: a gap-frames-old carry must be
             # gap times more static to blend at the same weight
             w = step_cfg.temporal_strength * jnp.exp(-diff * (gap / 0.05))
             w = w * valid[:, None, None, None]
-            # scene cut: large mean luma delta => pass the new frame through
-            cut = diff.mean(axis=(1, 2, 3), keepdims=True) > (
-                step_cfg.scene_cut_thresh
-            )
+            # scene cut: pass the new frame through untouched
+            mdelta = diff.mean(axis=(1, 2, 3), keepdims=True)
+            if use_hist:
+                # total-variation distance between luma histograms: ~0 for
+                # pans/zooms of the same content, ~1 across a hard cut.
+                # The histogram CONFIRMS a borderline delta trip (fast
+                # motion of one scene keeps its histogram, so it no longer
+                # false-cuts); an overwhelming delta still cuts on its own
+                # (fail-safe identical to the hist-off behavior).
+                tvd = 0.5 * jnp.abs(hf - ch).sum(axis=-1)  # (D,)
+                cut = (
+                    (mdelta > step_cfg.scene_cut_thresh)
+                    & (tvd[:, None, None, None] > step_cfg.scene_cut_hist)
+                ) | (mdelta > 2.5 * step_cfg.scene_cut_thresh)
+            else:
+                cut = mdelta > step_cfg.scene_cut_thresh
             w = jnp.where(cut, 0.0, w)
-            out = (1.0 - w) * fr + w * c
-            return out, out
+            out = (1.0 - w) * fr + w * cf
+            return (out, hf), out
 
-        last, outs = jax.lax.scan(scan_fn, prev, (yt, gaps, valids))
+        (last, _), outs = jax.lax.scan(
+            scan_fn, (prev, h_prev), (yt, h_all, gaps, valids)
+        )
         y = jnp.moveaxis(outs, 0, 1).reshape(y.shape)
         new_carry = {
             "frame": jnp.clip(jnp.round(last * 255.0), 0, 255).astype(
