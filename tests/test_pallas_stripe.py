@@ -252,6 +252,38 @@ def test_npacked_conv_parity(rng):
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_im2col_conv_parity(rng):
+    """im2col contraction (K = 9cin, dx folded into K, zero rolls) must
+    match the 3-matmul stripe form and the naive RDB exactly — including
+    mixed selections alongside N-packed sources."""
+    from video_restore_tpu.models.rrdbnet import _rdb_apply, init_rrdbnet
+    from video_restore_tpu.ops.pallas_stripe import (
+        im2col_prefix_weights,
+        pack_prefix_weights,
+        prefix_rdb_weights,
+        rdb_stripe,
+    )
+
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8)
+    params = init_rrdbnet(jax.random.PRNGKey(5), spec)
+    rdb = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+    x = jnp.asarray(rng.random((1, 24, 20, 16)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb, x))
+    ws, bs = prefix_rdb_weights(rdb, 16, 8)
+    for sel in [(0, 1, 2, 3, 4), (0, 2)]:
+        wsi = im2col_prefix_weights(ws, sel)
+        out = np.asarray(
+            rdb_stripe(x, wsi, bs, block_h=8, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    # mixed: im2col on the wide conv, N-pack on the growth convs
+    wsm = im2col_prefix_weights(
+        pack_prefix_weights(ws, (1, 4)), (0,)
+    )
+    out = np.asarray(rdb_stripe(x, wsm, bs, block_h=8, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_sd_tail_parity(rng, monkeypatch):
     """sd-throughout tail (VRT_SD_TAIL=1) == reference tail, both
     unprepared and through prepare_rrdbnet, incl. the single-upsample

@@ -100,6 +100,40 @@ def main():
 
             bench(mode, step, x, tp)
 
+        elif mode.startswith("stripei"):
+            # stripei:BH[:sources] — im2col contraction (K = 9cin, dx
+            # folded into K; no fp32 partial rolls) for the selected
+            # source convs (default: all five)
+            from video_restore_tpu.ops.pallas_stripe import (
+                im2col_prefix_weights,
+            )
+
+            parts = mode.split(":")
+            bh = int(parts[1]) if len(parts) > 1 else 64
+            sel = (
+                tuple(int(c) for c in parts[2])
+                if len(parts) > 2
+                else (0, 1, 2, 3, 4)
+            )
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = im2col_prefix_weights(ws, sel)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+
+            @jax.jit
+            def step(x, wb, bh=bh):
+                def body(h, _):
+                    return (
+                        rdb_stripe(h, wb[0], wb[1], block_h=bh),
+                        None,
+                    )
+
+                return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, wb)
+
         elif mode.startswith("stripep"):
             # stripep:BH[:s0s1s4] — N-packed dx contraction (one
             # (M,K)x(K,3N) matmul + slice/roll/add per packed conv);

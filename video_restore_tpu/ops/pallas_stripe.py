@@ -143,6 +143,37 @@ def pack_prefix_weights(ws, pack: Tuple[int, ...] = NPACK_DEFAULT):
     return tuple(out)
 
 
+def im2col_prefix_weights(ws, sel: Tuple[int, ...]):
+    """(3, 3cin, cout) -> im2col form (9cin, cout) for the selected source
+    convs (K ordered dx-major, matching the ak9 build in _conv_prefix);
+    the rest pass through. Batch-agnostic.
+
+    Contrast with pack_prefix_weights: N-packing folds dx into the matmul
+    *output* (3N lanes, then slice + fp32 roll + add); im2col folds dx
+    into the *contraction* (K = 9cin) — the three dx taps reduce inside
+    the MXU, so the kernel writes cout lanes once instead of 3N, and the
+    column alignment moves from fp32 partial rolls to bf16 input slices.
+    """
+    out = []
+    for s, w in enumerate(ws):
+        if s in sel:
+            w = w.reshape(w.shape[:-3] + (3 * w.shape[-2], w.shape[-1]))
+        out.append(w)
+    return tuple(out)
+
+
+def _wgeom(w) -> Tuple[int, int]:
+    """(cin, cout) of a prefix-form weight in any of the three layouts:
+    (3, 3cin, cout) per-dx, (3cin, 3cout) N-packed, (9cin, cout) im2col
+    (the latter two disambiguated by K>N — cout > cin for every RDB conv,
+    so 9cin > cout and 3cin < 3cout)."""
+    if w.ndim >= 3:
+        return w.shape[-2] // 3, w.shape[-1]
+    if w.shape[-2] > w.shape[-1]:  # im2col
+        return w.shape[-2] // 9, w.shape[-1]
+    return w.shape[-2] // 3, w.shape[-1] // 3
+
+
 def _roll_w(x, d: int):
     """Align column j to source column j+d (hardware sublane roll)."""
     if d == 0:
@@ -188,6 +219,39 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
     e, wf, cin = a.shape
     oh = e - 2
     ak = jnp.concatenate([a[0:oh], a[1 : 1 + oh], a[2 : 2 + oh]], axis=2)
+    if w.ndim == 2 and w.shape[0] > w.shape[1]:
+        # im2col (9cin, cout): dx folded into K. The three dx taps are
+        # column-shifted copies of ak (zero-filled at the wrap columns,
+        # which the caller's frame mask discards anyway), so the matmul
+        # output is already column-aligned — no fp32 partial rolls, and
+        # the MXU writes cout lanes once instead of 3N. K > N always
+        # distinguishes this layout from the N-packed one below (cout of
+        # every RDB conv exceeds its cin, so 9cin > cout and 3cin < 3cout).
+        rc = max(8, _npack_chunk_bytes() // (wf * w.shape[0] * 2) // 8 * 8)
+        outs = []
+        zc = jnp.zeros_like(ak[:1, :1])
+        for r0 in range(0, oh, rc):
+            r1 = min(r0 + rc, oh)
+            akc = ak[r0:r1]
+            z = jnp.broadcast_to(zc, (r1 - r0, 1, ak.shape[2]))
+            ak9 = jnp.concatenate(
+                [
+                    jnp.concatenate([z, akc[:, :-1]], axis=1),  # col j-1
+                    akc,
+                    jnp.concatenate([akc[:, 1:], z], axis=1),  # col j+1
+                ],
+                axis=2,
+            )
+            outs.append(
+                lax.dot_general(
+                    ak9,
+                    w,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return acc.astype(out_dt)
     if w.ndim == 2:  # N-packed (3cin, 3cout)
         n = w.shape[1] // 3
         rc = max(8, _npack_chunk_bytes() // (wf * 3 * n * 4) // 8 * 8)
@@ -481,8 +545,8 @@ def rdb_stripe_padded(
     the whole array at ~0.63ms/call on v5e).
     """
     b, hp2, wf_in, nfp = xp.shape
-    nf = ws[0].shape[-2] // 3
-    gc = ws[1].shape[-2] // 3
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
     wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h)
     if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
         raise ValueError(
@@ -628,8 +692,8 @@ def rrdb_stripe_padded(
     (B, hp+2*bh, Wf, nfp) -> same shape, chainable across the 23-block
     body with zero XLA ops in between."""
     b, hp2, wf_in, nfp = xp.shape
-    nf = ws[0].shape[-2] // 3
-    gc = ws[1].shape[-2] // 3
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
     wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h, fused=True)
     if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
         raise ValueError(
@@ -763,8 +827,8 @@ def rdb_res_stripe_padded(
     x0 + 0.2 * rdb(xp), same padded shape, chainable. ``x0`` (the block
     input) is donated — its buffer becomes the output."""
     b, hp2, wf_in, nfp = xp.shape
-    nf = ws[0].shape[-2] // 3
-    gc = ws[1].shape[-2] // 3
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
     wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h)
     if (wf_in, hp2, nfp) != (wf, hp + 2 * bh, nf + cpad):
         raise ValueError(
@@ -825,7 +889,7 @@ def rdb_stripe(
     summation order).
     """
     b, h, w, nf = x.shape
-    gc = ws[1].shape[-2] // 3  # c1-source conv: K = 3*gc
+    gc = _wgeom(ws[1])[0]  # c1-source conv growth width
     # W padded to a sublane multiple; mask handles the extra columns.
     # Channels padded to the 128-lane granule: Mosaic requires HBM DMA
     # windows lane-aligned (and a 64-minor array is physically laid out
