@@ -74,3 +74,24 @@ def test_srvgg_model_stripe_path(rng):
     with mock.patch.object(pk, "srvgg_stripe_padded", interp):
         out = np.asarray(_apply(params, x, spec.scale, stripe=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_srvgg_model_stripe_im2col(rng, monkeypatch):
+    """Stripe body in im2col form (VRT_SRVGG_KFORM=im2col) == XLA scan."""
+    import video_restore_tpu.ops.pallas_srvgg as pk
+
+    monkeypatch.setenv("VRT_SRVGG_KFORM", "im2col")
+    spec = SRVGGSpec(num_feat=16, num_conv=8, scale=2)
+    params = init_srvgg(jax.random.PRNGKey(1), spec)
+    x = jnp.asarray(rng.random((1, 24, 20, 3)).astype(np.float32))
+    ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
+
+    orig = pk.srvgg_stripe_padded
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pk, "srvgg_stripe_padded", interp):
+        out = np.asarray(_apply(params, x, spec.scale, stripe=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

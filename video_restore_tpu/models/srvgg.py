@@ -89,6 +89,17 @@ def _stripe_group() -> int:
         return 8
 
 
+def _stripe_kform() -> str:
+    """Contraction form of the fused body kernel: 'roll' = dy-folded
+    3-matmul form with fp32 partial rolls; 'im2col' = dx folded into K
+    (one (M, 9nf) x (9nf, nf) matmul per conv, no rolls). VRT_SRVGG_KFORM
+    selects; see ops/pallas_stripe._conv_prefix for the tradeoff."""
+    import os
+
+    v = os.environ.get("VRT_SRVGG_KFORM", "roll")
+    return v if v in ("roll", "im2col") else "roll"
+
+
 @partial(jax.jit, static_argnames=("scale", "stripe"))
 def _apply(
     params: Params, x: jax.Array, scale: int, stripe: bool = False
@@ -115,7 +126,11 @@ def _apply(
         while nconv % g:  # fall back to a divisor for odd num_conv
             g -= 1
         ngroups = nconv // g
-        wsg = fold_dy(params["body"]["w"]).reshape(ngroups, g, 3, 3 * nf, nf)
+        wsg = fold_dy(params["body"]["w"])  # (nconv, 3, 3nf, nf)
+        if _stripe_kform() == "im2col":
+            wsg = wsg.reshape(ngroups, g, 9 * nf, nf)
+        else:
+            wsg = wsg.reshape(ngroups, g, 3, 3 * nf, nf)
         bsg = params["body"]["b"].reshape(ngroups, g, nf)
         asg = params["body"]["alpha"].reshape(ngroups, g, nf)
 

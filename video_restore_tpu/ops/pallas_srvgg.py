@@ -43,7 +43,7 @@ def fold_dy(w: jax.Array) -> jax.Array:
 
 def _srvgg_stripe_kernel(
     xp_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — padded input
-    w_ref,  # (G, 3, 3*nf, nf) VMEM — dy-folded conv weights
+    w_ref,  # (G, 3, 3*nf, nf) per-dx or (G, 9*nf, nf) im2col, VMEM
     b_ref,  # (G, 1, nf) VMEM fp32 biases
     a_ref,  # (G, 1, nf) VMEM fp32 PReLU alphas
     out_ref,  # (1, bh, Wf, nfp) VMEM block
@@ -124,7 +124,7 @@ def _srvgg_stripe_kernel(
 )
 def srvgg_stripe_padded(
     xp: jax.Array,
-    ws: jax.Array,  # (G, 3, 3*nf, nf) dy-folded
+    ws: jax.Array,  # (G, 3, 3*nf, nf) dy-folded or (G, 9*nf, nf) im2col
     bs: jax.Array,  # (G, nf)
     alphas: jax.Array,  # (G, nf)
     *,
