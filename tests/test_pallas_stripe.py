@@ -341,3 +341,46 @@ def test_tail_fused_kernel_parity(rng):
     )
     assert got.shape == ref.shape == (2, 40, 48, 3)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_model_stripe_im2col_env(rng, monkeypatch):
+    """Production path with VRT_IM2COL=23 (im2col on the sources N-packing
+    leaves alone) == the plain XLA path, unprepared and prepared."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_stripe as pk
+    from video_restore_tpu.models.rrdbnet import (
+        _apply,
+        apply_rrdbnet,
+        prepare_rrdbnet,
+    )
+
+    monkeypatch.setenv("VRT_IM2COL", "23")
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=2)
+    params = init_rrdbnet(jax.random.PRNGKey(7), spec)
+    x = jnp.asarray(rng.random((1, 20, 16, 3)).astype(np.float32))
+    ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+
+    orig1 = pk.rdb_stripe_padded
+    orig2 = pk.rdb_res_stripe_padded
+
+    def interp1(xx, ws, bs, **kw):
+        assert any(w.ndim == 2 and w.shape[0] > w.shape[1] for w in ws)
+        kw["interpret"] = True
+        return orig1(xx, ws, bs, **kw)
+
+    def interp2(xx, x0, ws, bs, **kw):
+        assert any(w.ndim == 2 and w.shape[0] > w.shape[1] for w in ws)
+        kw["interpret"] = True
+        return orig2(xx, x0, ws, bs, **kw)
+
+    with mock.patch.object(
+        pk, "rdb_stripe_padded", interp1
+    ), mock.patch.object(pk, "rdb_res_stripe_padded", interp2):
+        out = np.asarray(_apply(params, x, spec.scale, stripe=True))
+        pp = prepare_rrdbnet(params, "stripe", spec.num_feat, spec.num_grow_ch)
+        out_prep = np.asarray(
+            _apply(pp, x, spec.scale, stripe=True, prepared=True)
+        )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)

@@ -134,6 +134,38 @@ def main():
 
             bench(mode, step, x, wb)
 
+        elif mode.startswith("stripem"):
+            # stripem:BH:PACK:IM2 — mixed contraction: N-pack the PACK
+            # sources, im2col the IM2 sources (e.g. stripem:64:014:23 is
+            # the production_prefix_weights candidate mix)
+            from video_restore_tpu.ops.pallas_stripe import (
+                im2col_prefix_weights,
+                pack_prefix_weights,
+            )
+
+            parts = mode.split(":")
+            bh = int(parts[1]) if len(parts) > 1 else 64
+            pack = tuple(int(c) for c in parts[2]) if len(parts) > 2 else (0, 1, 4)
+            im2 = tuple(int(c) for c in parts[3]) if len(parts) > 3 else (2, 3)
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = im2col_prefix_weights(pack_prefix_weights(ws, pack), im2)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+
+            @jax.jit
+            def step(x, wb, bh=bh):
+                def body(h, _):
+                    return (
+                        rdb_stripe(h, wb[0], wb[1], block_h=bh),
+                        None,
+                    )
+
+                return lax.scan(body, x, None, length=REPS)[0]
+
+            bench(mode, step, x, wb)
+
         elif mode.startswith("stripep"):
             # stripep:BH[:s0s1s4] — N-packed dx contraction (one
             # (M,K)x(K,3N) matmul + slice/roll/add per packed conv);

@@ -487,16 +487,13 @@ def _apply(
             else:
                 if stripe:
                     from video_restore_tpu.ops.pallas_stripe import (
-                        npack_selection,
-                        pack_prefix_weights,
                         prefix_rdb_weights,
+                        production_prefix_weights,
                     )
 
                     def regroup(p, nf, gc):
                         ws, bs = prefix_rdb_weights(p, nf, gc)
-                        return (
-                            pack_prefix_weights(ws, npack_selection()), bs
-                        )
+                        return production_prefix_weights(ws), bs
                 elif accum:
                     regroup = _accum_rdb_weights
                 else:
@@ -727,14 +724,13 @@ def prepare_rrdbnet(
     body = {}
     if mode == "stripe":
         from video_restore_tpu.ops.pallas_stripe import (
-            npack_selection,
-            pack_prefix_weights,
             prefix_rdb_weights,
+            production_prefix_weights,
         )
 
         def regroup(p, nf, gc):
             ws, bs = prefix_rdb_weights(p, nf, gc)
-            return pack_prefix_weights(ws, npack_selection()), bs
+            return production_prefix_weights(ws), bs
     elif mode == "accum":
         regroup = _accum_rdb_weights
     else:

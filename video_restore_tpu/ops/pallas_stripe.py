@@ -129,6 +129,28 @@ def npack_selection() -> Tuple[int, ...]:
     return NPACK_DEFAULT
 
 
+def im2col_selection() -> Tuple[int, ...]:
+    """Production im2col-form selection (applied after N-packing; a
+    source already N-packed is skipped). Default empty pending a real-TPU
+    A/B vs the N-packed/per-dx mix; VRT_IM2COL=<digits> (e.g. 23) picks a
+    source set, VRT_IM2COL=0 disables."""
+    import os
+
+    v = os.environ.get("VRT_IM2COL", "")
+    if v == "0" or not v.isdigit():
+        return ()
+    return tuple(sorted({int(c) for c in v} & {0, 1, 2, 3, 4}))
+
+
+def production_prefix_weights(ws):
+    """Apply the production contraction-form selections (N-pack, then
+    im2col for the sources N-packing left alone) to prefix-form weights."""
+    npack = npack_selection()
+    ws = pack_prefix_weights(ws, npack)
+    im2 = tuple(s for s in im2col_selection() if s not in npack)
+    return im2col_prefix_weights(ws, im2)
+
+
 def pack_prefix_weights(ws, pack: Tuple[int, ...] = NPACK_DEFAULT):
     """(3, 3cin, cout) -> N-packed (3cin, 3cout) for the selected source
     convs (lane blocks ordered [dx=0 | dx=1 | dx=2]); the rest pass
