@@ -384,3 +384,89 @@ def test_full_model_stripe_im2col_env(rng, monkeypatch):
         )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_rdb_stripe2d_chain(rng):
+    """2D-blocked padded form (H stripes x W blocks, margin-DMA): chained
+    RDBs + res kernel == unpadded reference; pad-zero invariant holds.
+    Exercises interior W blocks, both frame-edge fixups, hp>h and wp>w
+    masking, and batch>1 double-buffering."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        rdb_res_stripe2d_padded,
+        rdb_stripe2d_padded,
+        unpad_stripe2d_exit,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=0)
+    rdb2, ws2, bs2 = _one_rdb(seed=1)
+    rdb3, ws3, bs3 = _one_rdb(seed=2)
+    b, h, w, nf = 2, 40, 41, 16
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = (
+        _rdb_apply(rdb3, _rdb_apply(rdb2, _rdb_apply(rdb1, x))) * 0.2 + x
+    )
+
+    bh, bw = 16, 16  # ns=3 (hp=48>40), nwb=3 (wp=48>41)
+    kw = dict(
+        frame_h=h, frame_w=w, block_h=bh, block_w=bw, interpret=True
+    )
+    xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+    o = rdb_stripe2d_padded(xp, ws1, bs1, **kw)
+    o = rdb_stripe2d_padded(o, ws2, bs2, **kw)
+    o = rdb_res_stripe2d_padded(o, xp, ws3, bs3, **kw)
+    out = unpad_stripe2d_exit(o, h, w, nf, block_h=bh, block_w=bw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    op = np.asarray(o)
+    assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+    assert np.all(op[:, :, w:] == 0)
+    assert np.all(op[..., nf:] == 0)
+
+
+def test_rdb_stripe2d_packed_weights(rng):
+    """2D form with the production N-packed contraction weights."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pack_prefix_weights,
+        pad_stripe2d_entry,
+        rdb_stripe2d_padded,
+        unpad_stripe2d_exit,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=3)
+    wsp = tuple(pack_prefix_weights(list(ws1)))
+    b, h, w, nf = 1, 32, 48, 16
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb1, x))
+    xp = pad_stripe2d_entry(x, block_h=16, block_w=24)
+    o = rdb_stripe2d_padded(
+        xp, wsp, bs1, frame_h=h, frame_w=w, block_h=16, block_w=24,
+        interpret=True,
+    )
+    out = unpad_stripe2d_exit(o, h, w, nf, block_h=16, block_w=24)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stripe2d_geometry_picker():
+    """Flagship frame geometry: full-frame 1080p fits the VMEM anchor with
+    materially less MAC overhead than the tiled full-width form (1.34x)."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        _HALO,
+        _MW,
+        _VMEM_ROWS_WF,
+        _pick_bh_bw,
+        stripe2d_supported,
+    )
+
+    bh, bw = _pick_bh_bw(1080, 1920)
+    assert (bh + 2 * _HALO) * (bw + 2 * _MW) <= _VMEM_ROWS_WF
+    hp = -(-1080 // bh) * bh
+    wp = -(-1920 // bw) * bw
+    overhead = (
+        (bh + 2 * _HALO) / bh * (bw + 2 * _MW) / bw
+        * (hp * wp) / (1080 * 1920)
+    )
+    assert overhead < 1.20
+    assert stripe2d_supported(1080, 1920)
+    assert not stripe2d_supported(8, 8)

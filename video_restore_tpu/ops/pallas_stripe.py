@@ -893,6 +893,440 @@ def rdb_res_stripe_padded(
     )(xp, x0, *wlist, *bias3)
 
 
+# ---------------------------------------------------------------------------
+# 2D-blocked padded stripe form (round 3): H stripes x W blocks.
+#
+# The full-width stripe form caps bh by VMEM (rows-in-flight * Wf <= anchor),
+# which forces small tiles: at the flagship frame width (1920) a full-width
+# stripe fits only bh<=16 ((bh+10)/bh = 1.63x halo overhead), so production
+# ran 12 overlapping 384x504 tiles instead (12% overlap MACs + 19% stripe
+# halo = 1.34x the ideal MAC count). Splitting W into bw-col blocks with an
+# 8-col margin each side bounds VMEM at (bh+10)*(bw+16) for ANY frame width:
+# the whole 1080p frame runs as one padded array at e.g. bh=135, bw=240
+# (1.074 x 1.067 = 1.15x overhead) — no tile overlap, no per-tile XLA glue.
+# Matches the workload the reference runs per tile via cuDNN
+# (/root/reference/video_upscaler.py:313-315,501).
+#
+# W-margin mechanics (no extension columns in the array): each program DMAs
+# a clamped (he, bw + 16) window; the two frame-edge W blocks shift their
+# window by the 8-col margin with a static concat (zeros enter at the
+# virtual out-of-frame columns), so the padded array is exactly
+# (B, hp + 2*bh, nwb*bw, nfp). Roll-wrap garbage telescopes inside the
+# margin exactly as it does inside _PADL in the full-width form. H keeps
+# the proven bh-row zero-halo-block scheme.
+# ---------------------------------------------------------------------------
+
+_MW = 8  # W-block margin columns (sublane-aligned; >= _HALO + 1 spare)
+
+
+def _pick_bh_bw(
+    h: int, w: int, anchor: int = _VMEM_ROWS_WF
+) -> Tuple[int, int]:
+    """Choose (bh, bw) minimizing total MAC overhead
+    ((bh+10)/bh * (bw+16)/bw * hp*wp/(h*w)) subject to the VMEM anchor
+    (rows-in-flight * window width) and nwb >= 2."""
+    best = None
+    for bw in range(64, 513, 8):
+        nwb = -(-w // bw)
+        if nwb < 2:
+            continue
+        bwf = bw + 2 * _MW
+        bh_max = anchor // bwf - 2 * _HALO
+        if bh_max < 16:
+            continue
+        cands = [min(bh_max, 512)]
+        for bh in range(min(bh_max, 512), 15, -1):  # largest exact divisor
+            if h % bh == 0 and bh not in cands:
+                cands.append(bh)
+                break
+        for bh in cands:
+            hp = -(-h // bh) * bh
+            wp = nwb * bw
+            cost = (
+                (bh + 2 * _HALO) / bh * bwf / bw * (hp * wp) / (h * w)
+            )
+            if best is None or cost < best[0]:
+                best = (cost, bh, bw)
+    if best is None:  # frame too narrow for 2 W blocks
+        raise ValueError(f"no 2D stripe geometry for {h}x{w}")
+    return best[1], best[2]
+
+
+def stripe2d_supported(h: int, w: int) -> bool:
+    try:
+        _pick_bh_bw(h, w)
+        return True
+    except ValueError:
+        return False
+
+
+def _geometry2d(
+    h: int,
+    w: int,
+    nf: int,
+    block_h: int | None,
+    block_w: int | None,
+):
+    """(bh, bw, ns, nwb, hp, wp, cpad) for the 2D-blocked padded form."""
+    cpad = (128 - nf % 128) % 128
+    if block_h is not None and block_w is not None:
+        bh, bw = block_h, block_w
+    else:
+        bh, bw = _pick_bh_bw(h, w)
+    if bw % 8:
+        raise ValueError(f"block_w must be a multiple of 8 (got {bw})")
+    ns = -(-h // bh)
+    nwb = -(-w // bw)
+    if nwb < 2:
+        raise ValueError(
+            f"2D stripe form needs >= 2 W blocks (w={w}, bw={bw})"
+        )
+    return bh, bw, ns, nwb, ns * bh, nwb * bw, cpad
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "block_w"))
+def pad_stripe2d_entry(
+    x: jax.Array,
+    block_h: int | None = None,
+    block_w: int | None = None,
+) -> jax.Array:
+    """(B, h, w, nf) -> 2D padded stripe form (B, hp + 2*bh, wp, nf+cpad).
+
+    All pad regions are exact zeros (SAME-conv semantics for the first
+    RDB); every chained kernel re-establishes the invariant via its
+    frame-masked output blocks."""
+    b, h, w, nf = x.shape
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(h, w, nf, block_h, block_w)
+    return jnp.pad(
+        x, ((0, 0), (bh, bh + hp - h), (0, wp - w), (0, cpad))
+    )
+
+
+def unpad_stripe2d_exit(
+    xp: jax.Array,
+    h: int,
+    w: int,
+    nf: int,
+    block_h: int | None = None,
+    block_w: int | None = None,
+) -> jax.Array:
+    """Inverse of pad_stripe2d_entry."""
+    bh = _geometry2d(h, w, nf, block_h, block_w)[0]
+    return xp[:, bh : bh + h, :w, :nf]
+
+
+def _stripe2d_window(xblk, slot, wi, nwb, he, bwf, dt):
+    """Post-DMA margin fixup for the frame-edge W blocks: shift the
+    clamped window onto the virtual [c0, c0+bwf) column range, zeros in
+    the out-of-frame margin (static concats only — Mosaic rotates 32-bit
+    data only, and these windows are bf16)."""
+
+    @pl.when(wi == 0)
+    def _():
+        win = xblk[slot]
+        z = jnp.zeros((he, _MW, win.shape[-1]), dt)
+        xblk[slot] = jnp.concatenate([z, win[:, :-_MW]], axis=1)
+
+    @pl.when(wi == nwb - 1)
+    def _():
+        win = xblk[slot]
+        z = jnp.zeros((he, _MW, win.shape[-1]), dt)
+        xblk[slot] = jnp.concatenate([win[:, _MW:], z], axis=1)
+
+
+def _rdb_stripe2d_kernel(
+    xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
+    w0, w1, w2, w3, w4,
+    b1, b2, b3, b4, b5,
+    out_ref,  # (1, bh, bw, nfp) VMEM block at (batch, row-block, W-block)
+    xblk,  # scratch (2, he, bwf, nfp) — double-buffer slots
+    sem,  # DMA semaphores (2,)
+    *,
+    bh: int,
+    bw: int,
+    h: int,
+    w: int,
+    wp: int,
+    nf: int,
+    gc: int,
+    ns: int,
+    nwb: int,
+    nb: int,
+    cpad: int,
+):
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    wi = pl.program_id(2)
+    si = gi - 1
+    is_halo = (gi == 0) | (gi == ns + 1)
+    m = (bi * ns + jnp.clip(si, 0, ns - 1)) * nwb + wi
+    he = bh + 2 * _HALO
+    bwf = bw + 2 * _MW
+    row_off = bh - _HALO  # window start: frame row si*bh - _HALO
+
+    def dma(slot, idx):
+        bb = idx // (ns * nwb)
+        rem = idx % (ns * nwb)
+        ii = rem // nwb
+        jj = rem % nwb
+        c0c = jnp.clip(jj * bw - _MW, 0, wp - bwf)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he), pl.ds(c0c, bwf)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((bi == 0) & (gi == 0) & (wi == 0))
+    def _():
+        dma(0, 0).start()
+
+    def compute():
+        @pl.when(m + 1 < nb * ns * nwb)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
+
+        dma(m % 2, m).wait()
+        dt = out_ref.dtype
+        _stripe2d_window(xblk, m % 2, wi, nwb, he, bwf, dt)
+        x = xblk[m % 2][:, :, :nf]
+
+        cols = lax.broadcasted_iota(jnp.int32, (1, bwf, 1), 1)
+        gcol = cols + (wi * bw - _MW)
+        col_ok = (gcol >= 0) & (gcol < w)
+        out = _rdb_stage(
+            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            si * bh - _HALO,
+            h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
+            acc_dt=jnp.float32, col_ok=col_ok,
+        )
+        out = out[:, _MW : _MW + bw, :]
+        if cpad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((bh, bw, cpad), dt)], axis=2
+            )
+        out_ref[0] = out
+
+    @pl.when(is_halo)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    pl.when(~is_halo)(compute)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_h", "frame_w", "block_h", "block_w", "interpret"),
+)
+def rdb_stripe2d_padded(
+    xp: jax.Array,
+    ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int | None = None,
+    block_w: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused RDB forward in 2D padded stripe form: (B, hp+2*bh, wp, nfp)
+    -> same shape, chainable (pad regions exact zeros)."""
+    b, hp2, wp_in, nfp = xp.shape
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(
+        frame_h, frame_w, nf, block_h, block_w
+    )
+    if (hp2, wp_in, nfp) != (hp + 2 * bh, wp, nf + cpad):
+        raise ValueError(
+            f"2D padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
+        )
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+
+    kernel = functools.partial(
+        _rdb_stripe2d_kernel,
+        bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
+        ns=ns, nwb=nwb, nb=b, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ns + 2, nwb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(
+            (1, bh, bw, nf + cpad),
+            lambda bb, i, j: (bb, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wp, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, bh + 2 * _HALO, bw + 2 * _MW, nf + cpad), xp.dtype
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, *wlist, *bias3)
+
+
+def _rdb_res_stripe2d_kernel(
+    xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY — rdb2 output, 2D padded form
+    x0_ref,  # (B, hp + 2*bh, wp, nfp) ANY — block input, ALIASED to out
+    w0, w1, w2, w3, w4,
+    b1, b2, b3, b4, b5,
+    out_ref,  # (1, bh, bw, nfp) VMEM block at row-block si+1, W-block wi
+    xblk,  # (2, he, bwf, nfp) input double-buffer
+    x0blk,  # (1, bh, bw, nfp) residual-source slot
+    sem,
+    sem0,
+    *,
+    bh: int,
+    bw: int,
+    h: int,
+    w: int,
+    wp: int,
+    nf: int,
+    gc: int,
+    ns: int,
+    nwb: int,
+    nb: int,
+    cpad: int,
+):
+    """rdb3 + RRDB 0.2-residual, 2D-blocked. Output aliases the block
+    input's buffer: only body blocks are written, the pad-zero invariant
+    is inherited — no halo grid steps."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    wi = pl.program_id(2)
+    m = (bi * ns + si) * nwb + wi
+    he = bh + 2 * _HALO
+    bwf = bw + 2 * _MW
+    row_off = bh - _HALO
+
+    def dma(slot, idx):
+        bb = idx // (ns * nwb)
+        rem = idx % (ns * nwb)
+        ii = rem // nwb
+        jj = rem % nwb
+        c0c = jnp.clip(jj * bw - _MW, 0, wp - bwf)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he), pl.ds(c0c, bwf)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    dma0 = pltpu.make_async_copy(
+        x0_ref.at[bi, pl.ds(bh + si * bh, bh), pl.ds(wi * bw, bw)],
+        x0blk,
+        sem0.at[0],
+    )
+    dma0.start()
+
+    @pl.when(m + 1 < nb * ns * nwb)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    dt = out_ref.dtype
+    _stripe2d_window(xblk, m % 2, wi, nwb, he, bwf, dt)
+    x = xblk[m % 2][:, :, :nf]
+    cols = lax.broadcasted_iota(jnp.int32, (1, bwf, 1), 1)
+    gcol = cols + (wi * bw - _MW)
+    col_ok = (gcol >= 0) & (gcol < w)
+    t = _rdb_stage(
+        x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+        si * bh - _HALO,
+        h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
+        acc_dt=jnp.float32, col_ok=col_ok,
+    )
+    t = t[:, _MW : _MW + bw, :]
+    dma0.wait()
+    x0c = x0blk[:, :, :nf].astype(jnp.float32)
+    out = (x0c + 0.2 * t.astype(jnp.float32)).astype(dt)
+    if cpad:
+        out = jnp.concatenate([out, jnp.zeros((bh, bw, cpad), dt)], axis=2)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_h", "frame_w", "block_h", "block_w", "interpret"),
+)
+def rdb_res_stripe2d_padded(
+    xp: jax.Array,
+    x0: jax.Array,
+    ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int | None = None,
+    block_w: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """rdb3 + RRDB residual in 2D padded stripe form: returns
+    x0 + 0.2 * rdb(xp), same padded shape, chainable. ``x0`` is donated —
+    its buffer becomes the output."""
+    b, hp2, wp_in, nfp = xp.shape
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(
+        frame_h, frame_w, nf, block_h, block_w
+    )
+    if (hp2, wp_in, nfp) != (hp + 2 * bh, wp, nf + cpad):
+        raise ValueError(
+            f"2D padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
+        )
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+
+    kernel = functools.partial(
+        _rdb_res_stripe2d_kernel,
+        bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
+        ns=ns, nwb=nwb, nb=b, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ns, nwb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(
+            (1, bh, bw, nf + cpad),
+            lambda bb, i, j: (bb, i + 1, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wp, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, bh + 2 * _HALO, bw + 2 * _MW, nf + cpad), xp.dtype
+            ),
+            pltpu.VMEM((bh, bw, nf + cpad), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, x0, *wlist, *bias3)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block_h", "acc_bf16")
 )
