@@ -470,3 +470,44 @@ def test_stripe2d_geometry_picker():
     assert overhead < 1.20
     assert stripe2d_supported(1080, 1920)
     assert not stripe2d_supported(8, 8)
+
+
+def test_full_model_stripe2d_env(rng, monkeypatch):
+    """Production path with VRT_STRIPE2D forced: the 2D-blocked body ==
+    the plain XLA path, unprepared and prepared."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_stripe as pk
+    from video_restore_tpu.models.rrdbnet import (
+        _apply,
+        apply_rrdbnet,
+        prepare_rrdbnet,
+    )
+
+    monkeypatch.setenv("VRT_STRIPE2D", "8x16")
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=2)
+    params = init_rrdbnet(jax.random.PRNGKey(9), spec)
+    x = jnp.asarray(rng.random((1, 36, 36, 3)).astype(np.float32))
+    ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+
+    orig1 = pk.rdb_stripe2d_padded
+    orig2 = pk.rdb_res_stripe2d_padded
+
+    def interp1(xx, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig1(xx, ws, bs, **kw)
+
+    def interp2(xx, x0, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig2(xx, x0, ws, bs, **kw)
+
+    with mock.patch.object(
+        pk, "rdb_stripe2d_padded", interp1
+    ), mock.patch.object(pk, "rdb_res_stripe2d_padded", interp2):
+        out = np.asarray(_apply(params, x, spec.scale, stripe=True))
+        pp = prepare_rrdbnet(params, "stripe", spec.num_feat, spec.num_grow_ch)
+        out_prep = np.asarray(
+            _apply(pp, x, spec.scale, stripe=True, prepared=True)
+        )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)

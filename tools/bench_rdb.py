@@ -40,7 +40,8 @@ B, H, W, NF, GC = 4, 384, 504, 64, 32
 REPS = 23  # RDB applications per timed step (one 23-block model's rdb1s)
 
 
-def bench(name, step, x, wargs, iters=6):
+def bench(name, step, x, wargs, iters=6, shape=None):
+    bb, hh, ww = shape or (B, H, W)
     t0 = time.time()
     y = step(x, wargs)
     np.asarray(y[0, :1, :1, :1])  # compile + settle
@@ -50,12 +51,16 @@ def bench(name, step, x, wargs, iters=6):
         y = step(y, wargs)
     np.asarray(y[0, :1, :1, :1])
     dt = (time.time() - t0) / (iters * REPS)
-    macs = 2 * 9 * H * W * (  # 3x3 taps x per-pixel cin*cout sums
+    macs = 2 * 9 * hh * ww * (  # 3x3 taps x per-pixel cin*cout sums
         NF * (NF + 4 * GC)
         + GC * ((NF + 3 * GC) + (NF + 2 * GC) + (NF + GC) + NF)
     )
-    tf = B * macs / dt / 1e12
-    print(f"{name:>14}: {dt*1e3:7.2f} ms/RDB-call  {tf:6.1f} TF/s", flush=True)
+    tf = bb * macs / dt / 1e12
+    print(
+        f"{name:>14}: {dt*1e3:7.2f} ms/RDB-call  {tf:6.1f} TF/s "
+        f"(useful, {bb}x{hh}x{ww})",
+        flush=True,
+    )
 
 
 def main():
@@ -133,6 +138,83 @@ def main():
                 return lax.scan(body, x, None, length=REPS)[0]
 
             bench(mode, step, x, wb)
+
+        elif mode.startswith("stripepd"):
+            # stripepd:BH — the production padded full-width chain
+            # (pad_stripe_entry + rdb_stripe_padded), the fair baseline
+            # for the s2d padded modes
+            from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe_entry,
+                production_prefix_weights,
+                rdb_stripe_padded,
+            )
+
+            parts = mode.split(":")
+            bh = int(parts[1]) if len(parts) > 1 else 64
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = production_prefix_weights(ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+            xp = pad_stripe_entry(
+                jnp.asarray(x, jnp.bfloat16), block_h=bh
+            )
+
+            @jax.jit
+            def step(xp, wb, bh=bh):
+                def body(h, _):
+                    return (
+                        rdb_stripe_padded(
+                            h, wb[0], wb[1],
+                            frame_h=H, frame_w=W, block_h=bh,
+                        ),
+                        None,
+                    )
+
+                return lax.scan(body, xp, None, length=REPS)[0]
+
+            bench(mode, step, xp, wb)
+
+        elif mode.startswith("s2d"):
+            # s2d:BH:BW[:H:W:B] — 2D-blocked padded chain (full-frame
+            # candidate); TF/s is on USEFUL frame MACs, so halo/pad
+            # overhead shows up as lost throughput (comparable numbers)
+            from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe2d_entry,
+                production_prefix_weights,
+                rdb_stripe2d_padded,
+            )
+
+            parts = mode.split(":")
+            bh, bw = int(parts[1]), int(parts[2])
+            hh = int(parts[3]) if len(parts) > 3 else H
+            ww = int(parts[4]) if len(parts) > 4 else W
+            bb = int(parts[5]) if len(parts) > 5 else B
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = production_prefix_weights(ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+            x2 = jnp.asarray(rng.random((bb, hh, ww, NF)), jnp.bfloat16)
+            xp = pad_stripe2d_entry(x2, block_h=bh, block_w=bw)
+
+            @jax.jit
+            def step(xp, wb, bh=bh, bw=bw, hh=hh, ww=ww):
+                def body(h, _):
+                    return (
+                        rdb_stripe2d_padded(
+                            h, wb[0], wb[1],
+                            frame_h=hh, frame_w=ww,
+                            block_h=bh, block_w=bw,
+                        ),
+                        None,
+                    )
+
+                return lax.scan(body, xp, None, length=REPS)[0]
+
+            bench(mode, step, xp, wb, shape=(bb, hh, ww))
 
         elif mode.startswith("stripem"):
             # stripem:BH:PACK:IM2 — mixed contraction: N-pack the PACK

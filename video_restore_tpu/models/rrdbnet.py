@@ -377,6 +377,25 @@ def _rrdb_apply_stripe(tp: Params, xp: jax.Array, h: int, w: int) -> jax.Array:
     )
 
 
+def _rrdb_apply_stripe2d(
+    tp: Params, xp: jax.Array, h: int, w: int, bh: int, bw: int
+) -> jax.Array:
+    """RRDB via the 2D-blocked (H stripes x W blocks) padded stripe
+    kernels — same chain as _rrdb_apply_stripe, but VMEM-bounded at any
+    frame width so the body can run full-frame (no tile overlap)."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        rdb_res_stripe2d_padded,
+        rdb_stripe2d_padded,
+    )
+
+    kw = dict(frame_h=h, frame_w=w, block_h=bh, block_w=bw)
+    out = rdb_stripe2d_padded(xp, tp["rdb1"]["w"], tp["rdb1"]["b"], **kw)
+    out = rdb_stripe2d_padded(out, tp["rdb2"]["w"], tp["rdb2"]["b"], **kw)
+    return rdb_res_stripe2d_padded(
+        out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"], **kw
+    )
+
+
 def default_use_pallas() -> bool:
     """Opt-in (VRT_PALLAS=1): the fused Pallas RDB kernel is correct on TPU
     but does not yet beat XLA's conv path (small per-block matmuls +
@@ -519,18 +538,37 @@ def _apply(
             # pad once, run the whole 23-block body in padded stripe form,
             # slice once — no XLA pads inside the scan
             from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe2d_entry,
                 pad_stripe_entry,
+                stripe2d_selection,
+                unpad_stripe2d_exit,
                 unpad_stripe_exit,
             )
 
             fh, fw = feat.shape[1], feat.shape[2]
-            xp = pad_stripe_entry(feat)
+            blocks = stripe2d_selection(fh, fw)
+            if blocks is not None:
+                bh2, bw2 = blocks
+                xp = pad_stripe2d_entry(feat, block_h=bh2, block_w=bw2)
 
-            def stripe_step(hc, bp):
-                return _rrdb_apply_stripe(bp, hc, fh, fw), None
+                def stripe_step(hc, bp):
+                    return (
+                        _rrdb_apply_stripe2d(bp, hc, fh, fw, bh2, bw2),
+                        None,
+                    )
 
-            body_out, _ = lax.scan(stripe_step, xp, body)
-            body_out = unpad_stripe_exit(body_out, fh, fw, nf)
+                body_out, _ = lax.scan(stripe_step, xp, body)
+                body_out = unpad_stripe2d_exit(
+                    body_out, fh, fw, nf, block_h=bh2, block_w=bw2
+                )
+            else:
+                xp = pad_stripe_entry(feat)
+
+                def stripe_step(hc, bp):
+                    return _rrdb_apply_stripe(bp, hc, fh, fw), None
+
+                body_out, _ = lax.scan(stripe_step, xp, body)
+                body_out = unpad_stripe_exit(body_out, fh, fw, nf)
         else:
             body_out, _ = lax.scan(block_step, feat, body)
         body_out = conv2d(

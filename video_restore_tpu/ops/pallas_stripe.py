@@ -960,6 +960,28 @@ def stripe2d_supported(h: int, w: int) -> bool:
         return False
 
 
+def stripe2d_selection(h: int, w: int) -> Tuple[int, int] | None:
+    """Production 2D-block selection for a (h, w) body grid: None keeps
+    the full-width stripe form. VRT_STRIPE2D: 0/unset (off — the
+    full-width form measured faster at tile widths; 2D exists for
+    full-frame geometry), auto (2D whenever supported), or BHxBW."""
+    import os
+
+    v = os.environ.get("VRT_STRIPE2D", "0")
+    if v in ("0", ""):
+        return None
+    if v not in ("auto", "1"):
+        try:
+            bh_s, bw_s = v.lower().split("x")
+            return int(bh_s), int(bw_s)
+        except ValueError:
+            pass
+    try:
+        return _pick_bh_bw(h, w)
+    except ValueError:
+        return None
+
+
 def _geometry2d(
     h: int,
     w: int,
@@ -1069,7 +1091,9 @@ def _rdb_stripe2d_kernel(
         rem = idx % (ns * nwb)
         ii = rem // nwb
         jj = rem % nwb
-        c0c = jnp.clip(jj * bw - _MW, 0, wp - bwf)
+        c0c = pl.multiple_of(
+            jnp.clip(jj * bw - _MW, 0, wp - bwf), 8
+        )  # bw, _MW, wp, bwf are all multiples of 8
         return pltpu.make_async_copy(
             xp_ref.at[bb, pl.ds(ii * bh + row_off, he), pl.ds(c0c, bwf)],
             xblk.at[slot],
@@ -1215,7 +1239,9 @@ def _rdb_res_stripe2d_kernel(
         rem = idx % (ns * nwb)
         ii = rem // nwb
         jj = rem % nwb
-        c0c = jnp.clip(jj * bw - _MW, 0, wp - bwf)
+        c0c = pl.multiple_of(
+            jnp.clip(jj * bw - _MW, 0, wp - bwf), 8
+        )  # bw, _MW, wp, bwf are all multiples of 8
         return pltpu.make_async_copy(
             xp_ref.at[bb, pl.ds(ii * bh + row_off, he), pl.ds(c0c, bwf)],
             xblk.at[slot],
@@ -1227,7 +1253,11 @@ def _rdb_res_stripe2d_kernel(
         dma(0, 0).start()
 
     dma0 = pltpu.make_async_copy(
-        x0_ref.at[bi, pl.ds(bh + si * bh, bh), pl.ds(wi * bw, bw)],
+        x0_ref.at[
+            bi,
+            pl.ds(bh + si * bh, bh),
+            pl.ds(pl.multiple_of(wi * bw, 8), bw),
+        ],
         x0blk,
         sem0.at[0],
     )
