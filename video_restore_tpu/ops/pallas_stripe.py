@@ -962,12 +962,20 @@ def stripe2d_supported(h: int, w: int) -> bool:
 
 def stripe2d_selection(h: int, w: int) -> Tuple[int, int] | None:
     """Production 2D-block selection for a (h, w) body grid: None keeps
-    the full-width stripe form. VRT_STRIPE2D: 0/unset (off — the
-    full-width form measured faster at tile widths; 2D exists for
-    full-frame geometry), auto (2D whenever supported), or BHxBW."""
+    the full-width stripe form.
+
+    Measured on v5e (tools/bench_rdb.py, padded chains, same harness):
+    at tile widths the full-width form wins (71.3 vs 64.4 TF/s useful at
+    384x504 — narrow W blocks pay margin/edge costs for no bh gain), but
+    at full-frame widths full-width would need bh<=16 (1.63x halo), while
+    2D at bh=135/bw=240 reaches 72.8 TF/s on frame MACs vs the tiled
+    body's 63.6 effective (tile overlap included) — +14.5%. So "auto" =
+    full-width whenever a bh>=64 stripe fits the width, 2D otherwise.
+    VRT_STRIPE2D: auto (default), 0 (always full-width), BHxBW (forced).
+    """
     import os
 
-    v = os.environ.get("VRT_STRIPE2D", "0")
+    v = os.environ.get("VRT_STRIPE2D", "auto")
     if v in ("0", ""):
         return None
     if v not in ("auto", "1"):
@@ -976,6 +984,11 @@ def stripe2d_selection(h: int, w: int) -> Tuple[int, int] | None:
             return int(bh_s), int(bw_s)
         except ValueError:
             pass
+    if v != "1":
+        wf = _PADL + w + _PADL
+        wf += (8 - wf % 8) % 8
+        if (64 + 2 * _HALO) * wf <= _VMEM_ROWS_WF:
+            return None  # full-width bh=64 fits: tiles stay full-width
     try:
         return _pick_bh_bw(h, w)
     except ValueError:
