@@ -43,7 +43,7 @@ def main() -> int:
     n_dev = len(jax.devices())
     cfg = RestoreConfig(
         model_name="RealESRGAN_x4plus",
-        tile_size=512,
+        tile_size=int(os.environ.get("VRT_BENCH_TILE", "512")),
         tile_overlap=32,
         precision="bf16",
         enhanced_mode=True,

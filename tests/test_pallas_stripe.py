@@ -341,6 +341,13 @@ def test_tail_fused_kernel_parity(rng):
     )
     assert got.shape == ref.shape == (2, 40, 48, 3)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # reduced row-chunk path (full-frame widths auto-scale rc down to
+    # bound the fp32 accumulator VMEM; rc no longer divides the stripe)
+    got2 = np.asarray(
+        tail_fused(xh, wu2, bu2, whr, bhr, wl, bl, block_h=4,
+                   row_chunk=3, interpret=True)
+    )
+    np.testing.assert_allclose(got2, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_full_model_stripe_im2col_env(rng, monkeypatch):

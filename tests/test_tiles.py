@@ -29,6 +29,30 @@ def test_single_tile_when_frame_fits():
     assert g.rows.extract == 30 and g.cols.extract == 40
 
 
+def test_tile_zero_is_full_frame(rng):
+    """tile=0 = no tiling (RealESRGANer tile=0 semantics): one exact
+    frame-sized tile, identity blend, even and odd dims."""
+
+    def up4(t):
+        return jnp.repeat(jnp.repeat(t, 4, axis=1), 4, axis=2)
+
+    for h, w in ((36, 60), (35, 61)):
+        x = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
+        g = TileGrid.build(h, w, tile=0, overlap=8, scale=4)
+        assert g.n_tiles == 1
+        out = tiled_apply(up4, x, g)
+        assert out.shape == (2, 4 * h, 4 * w, 3)
+        ref = np.repeat(np.repeat(np.asarray(x), 4, axis=1), 4, axis=2)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_tile_zero_config_valid():
+    from video_restore_tpu.config import RestoreConfig
+
+    cfg = RestoreConfig(model_name="RealESRGAN_x4plus", tile_size=0)
+    assert cfg.tile_size == 0
+
+
 def test_identity_model_reproduces_input(rng):
     x = jnp.asarray(rng.random((2, 37, 53, 3)).astype(np.float32))
     g = TileGrid.build(37, 53, tile=16, overlap=6, scale=1)

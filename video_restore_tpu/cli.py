@@ -61,7 +61,13 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     p.add_argument("--enhanced", action="store_true",
                    help="enable the enhancement stack (denoise/CLAHE/"
                         "unsharp/temporal)")
-    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--tile-size", type=int, default=None,
+                   help="model tile size; 0 = no tiling (whole frame in "
+                        "one model call — fastest when HBM admits it)")
+    p.add_argument("--full-frame", default=None,
+                   choices=["auto", "on", "off"],
+                   help="auto-upgrade to no-tiling when the frame fits "
+                        "HBM (default auto; 'off' always tiles)")
     p.add_argument("--tile-overlap", type=int, default=None)
     p.add_argument("--crf", type=int, default=None)
     p.add_argument("--preset", default=None, choices=list(X264_PRESETS))
@@ -182,6 +188,11 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         model_name=args.model,
         tile_size=tile,
         tile_overlap=overlap,
+        full_frame=(
+            args.full_frame if args.full_frame is not None
+            # an explicit --tile-size is a direct instruction: honour it
+            else ("off" if args.tile_size is not None else "auto")
+        ),
         seamless=not args.no_seamless,
         legacy_tiling=args.no_seamless,
         precision=args.precision,

@@ -65,6 +65,12 @@ class RestoreConfig:
     # legacy pad-and-crop tile mode for strict parity with RealESRGANer
     legacy_tiling: bool = False
     tile_chunk: int = 0  # tiles per model pass; 0 = auto (HBM heuristic)
+    # full-frame (no-tiling) upgrade: "auto" runs the whole frame in one
+    # model call whenever the TPU stripe path is active and the HBM
+    # estimate fits (ops/tiles.py:auto_full_frame) — no tile overlap MACs
+    # and taller 2D stripes (+14.5% body, BENCH_NOTES round 3). "on"
+    # forces it, "off" always honours tile_size.
+    full_frame: str = "auto"
 
     # --- precision (video_upscaler.py:123 use_fp16=True -> TPU bf16) ---
     precision: str = "bf16"
@@ -149,7 +155,13 @@ class RestoreConfig:
             raise ValueError(f"precision must be one of {PRECISIONS}")
         if self.tile_size % 2:
             raise ValueError("tile_size must be even")
-        if not 0 <= self.tile_overlap < self.tile_size:
+        # tile_size=0: no tiling — the whole frame goes through the model
+        # in one call (RealESRGANer's tile=0 semantics, which the reference
+        # exposes via its tile_size presets). On TPU this is also the
+        # fastest mode when HBM admits it: the 2D-blocked stripe kernels
+        # bound VMEM at any width, so a full-frame body skips the tile
+        # overlap MACs entirely.
+        if self.tile_size and not 0 <= self.tile_overlap < self.tile_size:
             raise ValueError("tile_overlap must be in [0, tile_size)")
         if self.preset not in X264_PRESETS:
             raise ValueError(f"preset must be one of {X264_PRESETS}")
@@ -157,6 +169,8 @@ class RestoreConfig:
             raise ValueError(f"video_codec must be one of {VIDEO_CODECS}")
         if self.shard_mode not in ("frames", "tiles"):
             raise ValueError("shard_mode must be 'frames' or 'tiles'")
+        if self.full_frame not in ("auto", "on", "off"):
+            raise ValueError("full_frame must be 'auto', 'on' or 'off'")
 
     @property
     def post_enabled(self) -> bool:

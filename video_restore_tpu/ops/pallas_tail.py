@@ -249,6 +249,11 @@ def tail_fused(
         bh2 = 8
     wf2 = _PADL + w2 + _PADL
     wf2 += (8 - wf2 % 8) % 8
+    # the live fp32 accumulator chunk is (rc, wf2, 768)x4B; rc=8 was
+    # anchored at tile widths (wf2~1024, ~25MB) — at full-frame widths
+    # scale rc down to keep that footprint, else the kernel VMEM-OOMs
+    # (seen at wf2=3856: 95MB scoped alloc)
+    row_chunk = max(2, min(row_chunk, (row_chunk * 1024) // wf2))
     cpad = (128 - nf % 128) % 128
     hp2 = h2 + (bh2 - h2 % bh2) % bh2
     nstripes = hp2 // bh2

@@ -156,6 +156,11 @@ class TileGrid:
     ) -> "TileGrid":
         if mode not in ("seamless", "legacy"):
             raise ValueError(f"unknown tile mode {mode!r}")
+        if tile == 0:
+            # no tiling (RealESRGANer tile=0): one frame-sized tile per
+            # axis — the _Axis single-tile snap covers the frame exactly
+            # and the blend collapses to an identity crop.
+            tile = _round_up(max(height, width), 2)
         # mod-pad granularity: scale-2 RRDBNet pixel-unshuffles the input by 2
         mod = 2
         if mode == "legacy":
@@ -211,6 +216,40 @@ def auto_tile_chunk(
         if n_tiles % c == 0:
             return c
     return int(chunk)
+
+
+def auto_full_frame(
+    height: int,
+    width: int,
+    scale: int,
+    hbm_bytes: int | None = None,
+    feat_ch: int = 64,
+) -> bool:
+    """Decide whether a full-frame (tile=0) pass fits device HBM.
+
+    The 2D-blocked stripe kernels bound VMEM at (bh+10)x(bw+16) for any
+    frame width, so the body can run full-frame; what limits full-frame
+    mode is the HBM peak of the activations. Estimate (TPU stripe path
+    with the fused Pallas tail): ~5 body-feat buffers (bf16, padded
+    chain double-buffer + residual + conv_body), the upconv1 output at
+    2x resolution, and ~3 output-resolution RGB fp32 buffers (tail
+    output + post stack). Full-frame beats tiling when it fits: no tile
+    overlap MACs and the 2D form's taller stripes measured +14.5% on
+    frame MACs (BENCH_NOTES round 3).
+    """
+    if hbm_bytes is None:
+        try:
+            d = jax.devices()[0]
+            stats = d.memory_stats() or {}
+            hbm_bytes = stats.get("bytes_limit", 16 << 30)
+        except Exception:
+            hbm_bytes = 16 << 30
+    hw = height * width
+    body = 5 * hw * feat_ch * 2
+    up1 = 4 * hw * feat_ch * 2
+    out_rgb = 3 * (scale * scale * hw) * 3 * 4
+    est = body + up1 + out_rgb
+    return est <= 0.5 * hbm_bytes
 
 
 def _pad_frame(x: jax.Array, grid: TileGrid) -> jax.Array:
@@ -338,4 +377,14 @@ def tiled_apply(
     else:
         out = _chunked_apply(model_fn, flat, grid.tile_chunk)
     out = out.reshape((n, grid.n_tiles) + out.shape[1:])
+    if (
+        grid.n_tiles == 1
+        and grid.rows.padded == grid.rows.dim
+        and grid.cols.padded == grid.cols.dim
+        and grid.rows.lead == 0
+        and grid.cols.lead == 0
+    ):
+        # full-frame mode: single exact tile, window is all-ones — skip
+        # the overlap-add canvas (3 full-output-frame copies at 8K)
+        return out[:, 0].astype(jnp.float32)
     return _blend_tiles(out, grid)

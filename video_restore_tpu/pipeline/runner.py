@@ -192,9 +192,37 @@ class VideoRestorer:
         key = (height, width, yuv_out)
         if key not in self._upscalers:
             cfg = self.config
+            tile = cfg.tile_size
+            if tile != 0 and not cfg.legacy_tiling:
+                ff = getattr(cfg, "full_frame", "off")
+                if ff == "on":
+                    tile = 0
+                elif ff == "auto":
+                    # full-frame upgrade: measured +14.5% body on v5e
+                    # (no tile overlap MACs, taller 2D stripes) — taken
+                    # whenever the TPU stripe body is active and the
+                    # activation estimate fits HBM (auto_full_frame)
+                    from video_restore_tpu.models.rrdbnet import (
+                        default_use_stripe,
+                    )
+                    from video_restore_tpu.models.zoo import RRDBNetSpec
+
+                    if (
+                        isinstance(self.model.spec, RRDBNetSpec)
+                        and default_use_stripe()
+                        and auto_full_frame(
+                            height, width, self.model.scale
+                        )
+                    ):
+                        tile = 0
+                        log.info(
+                            "full-frame mode: %dx%d fits HBM, tiling "
+                            "disabled (full_frame=off restores tiles)",
+                            width, height,
+                        )
             grid = TileGrid.build(
                 height, width,
-                tile=cfg.tile_size,
+                tile=tile,
                 overlap=cfg.tile_overlap,
                 scale=self.model.scale,
                 mode="legacy" if cfg.legacy_tiling else "seamless",
