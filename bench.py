@@ -35,15 +35,30 @@ def main() -> int:
 
     from video_restore_tpu.config import RestoreConfig
     from video_restore_tpu.models.zoo import random_model
-    from video_restore_tpu.ops.tiles import TileGrid, auto_tile_chunk
+    from video_restore_tpu.models.rrdbnet import default_use_stripe
+    from video_restore_tpu.ops.tiles import (
+        TileGrid,
+        auto_full_frame,
+        auto_tile_chunk,
+    )
     from video_restore_tpu.parallel.dispatch import ShardedUpscaler
     from video_restore_tpu.parallel.mesh import frame_mesh
 
     h, w = 1080, 1920
     n_dev = len(jax.devices())
+    # mirror the production full_frame="auto" rule (pipeline/runner.py):
+    # full-frame when the stripe body is active and the frame fits HBM;
+    # VRT_BENCH_TILE forces a tile size (0 = full-frame)
+    tile_env = os.environ.get("VRT_BENCH_TILE")
+    if tile_env is not None:
+        tile = int(tile_env)
+    elif default_use_stripe() and auto_full_frame(h, w, 4):
+        tile = 0
+    else:
+        tile = 512
     cfg = RestoreConfig(
         model_name="RealESRGAN_x4plus",
-        tile_size=int(os.environ.get("VRT_BENCH_TILE", "512")),
+        tile_size=tile,
         tile_overlap=32,
         precision="bf16",
         enhanced_mode=True,

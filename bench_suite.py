@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--configs", type=int, nargs="*", default=None)
+    ap.add_argument("--tile0", action="store_true",
+                    help="run the selected configs full-frame (tile=0)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -105,6 +107,8 @@ def main():
     for i, (name, m, h, w, t, o, kw) in enumerate(suite, 1):
         if args.configs and i not in args.configs:
             continue
+        if args.tile0:
+            t = 0
         try:
             run_config(i, name, m, h, w, t, o, kw, args.iters)
         except Exception as e:

@@ -350,6 +350,24 @@ def test_tail_fused_kernel_parity(rng):
     np.testing.assert_allclose(got2, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_up1_fused_kernel_parity(rng):
+    """Fused phase-form upconv1 (ops/pallas_tail.py up1_fused) ==
+    leaky_relu(upconv2x(...)), interpret mode, incl. a non-dividing
+    stripe height."""
+    from video_restore_tpu.ops.conv import leaky_relu, upconv2x
+    from video_restore_tpu.ops.pallas_tail import up1_fused
+
+    nf = 16
+    w = jnp.asarray(rng.random((3, 3, nf, nf)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.random((nf,)) * 0.1, jnp.float32)
+    for h1, bh in ((20, 4), (18, 4)):
+        x = jnp.asarray(rng.random((2, h1, 24, nf)), jnp.float32)
+        ref = np.asarray(leaky_relu(upconv2x(x, w, b)))
+        got = np.asarray(up1_fused(x, w, b, block_h=bh, interpret=True))
+        assert got.shape == ref.shape == (2, 2 * h1, 48, nf)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_full_model_stripe_im2col_env(rng, monkeypatch):
     """Production path with VRT_IM2COL=23 (im2col on the sources N-packing
     leaves alone) == the plain XLA path, unprepared and prepared."""

@@ -24,7 +24,8 @@ import dataclasses
 
 h, w = 1080, 1920
 n_dev = len(jax.devices())
-cfg = RestoreConfig(model_name="RealESRGAN_x4plus", tile_size=512, tile_overlap=32,
+cfg = RestoreConfig(model_name="RealESRGAN_x4plus",
+    tile_size=int(os.environ.get("VRT_BENCH_TILE", "512")), tile_overlap=32,
     precision="bf16", enhanced_mode=True, denoise=0.5, sharpen=0.3,
     color_enhance=True, temporal=True, audio_copy=False)
 model = random_model(cfg.model_name, dtype=np.float32)

@@ -599,11 +599,29 @@ def _apply(
         and default_use_tail_kernel()
         and "conv_up2" in params
     ):
-        from video_restore_tpu.ops.pallas_tail import tail_fused
+        from video_restore_tpu.ops.pallas_tail import tail_fused, up1_fused
 
-        feat = leaky_relu(
-            upconv2x(feat, params["conv_up1"]["w"], params["conv_up1"]["b"])
-        )
+        # upconv1 ahead of the kernel: the XLA conv_transpose runs ~6 TF/s
+        # in a T(1,128) layout at full-frame widths (44 ms/frame traced);
+        # default is the fused phase-form stripe kernel (up1_fused, free
+        # fine-grid reshape). VRT_UP1_KERNEL=0 restores the XLA form,
+        # VRT_UP1_PHASE=1 the XLA phase form (measured alternatives).
+        if os.environ.get("VRT_UP1_KERNEL", "1") != "0":
+            feat = up1_fused(
+                feat, params["conv_up1"]["w"], params["conv_up1"]["b"]
+            )
+        elif os.environ.get("VRT_UP1_PHASE") == "1":
+            feat = leaky_relu(
+                upconv2x_phase(
+                    feat, params["conv_up1"]["w"], params["conv_up1"]["b"]
+                )
+            )
+        else:
+            feat = leaky_relu(
+                upconv2x(
+                    feat, params["conv_up1"]["w"], params["conv_up1"]["b"]
+                )
+            )
         return tail_fused(
             feat,
             params["conv_up2"]["w"], params["conv_up2"]["b"],

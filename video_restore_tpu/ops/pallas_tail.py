@@ -305,3 +305,133 @@ def tail_fused(
     # channel pairs ARE adjacent fine columns
     out = out[:, : 2 * h2]
     return out.reshape(b, 2 * h2, 2 * w2, 3)
+
+
+def _up1_kernel(
+    xp_ref,  # (B, hp1 + 2, Wf1, 128) ANY/HBM — coarse-grid activations
+    ku,  # (192, 768) dx-packed phase-form upconv1 kernel, VMEM
+    bu,  # bias (1, 1, 256) fp32
+    out_ref,  # (1, 2*bh1, Wf1, 2*nf) VMEM block — fine rows x (b, o)
+    xblk,  # scratch (2, bh1 + 2, Wf1, 128) double-buffer
+    sem,  # DMA semaphores (2,)
+    *,
+    bh1: int,
+    nf: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh1 + 2
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh1, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    x = xblk[m % 2][:, :, :nf]
+    dt = x.dtype
+
+    # no frame masks: this kernel is terminal (its output is sliced to
+    # the frame in XLA, not chained), and the zero-padded input already
+    # gives exact SAME-conv border semantics; roll wrap-around lands in
+    # the _PADL margins, which the slice drops
+    def post(q, r0):
+        return jax.nn.leaky_relu(q + bu[0], 0.2).astype(dt)
+
+    y = _conv_chunked(x, ku[:], (-1, 0, 1), post, rc)  # (bh1, wf1, 256)
+    out_ref[0] = _interleave_rows(y)  # (2*bh1, wf1, (b, o))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_h", "interpret", "row_chunk")
+)
+def up1_fused(
+    x1: jax.Array,
+    w_up1: jax.Array,
+    b_up1: jax.Array,
+    *,
+    block_h: int | None = None,
+    row_chunk: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused phase-form upconv1: ``leaky_relu(upconv2x(x1, w, b))`` as a
+    stripe Pallas kernel. x1 (B, H1, W1, nf) -> (B, 2*H1, 2*W1, nf).
+
+    The XLA conv_transpose form runs ~6 TF/s in a T(1,128) layout at
+    full-frame widths (44 ms/frame traced at 1080p); here the phase conv
+    is the same dx-packed (M,192)x(192,768) matmul as tail_fused's
+    upconv2, the two row phases interleave through the free leading dim,
+    and the two column phases land as adjacent (b, o) lane pairs so the
+    final fine-grid layout is ONE free reshape — no pixel_shuffle
+    transposes (the failure mode that sank the XLA phase form,
+    BENCH_NOTES round 2).
+    """
+    from video_restore_tpu.ops.conv import up_phase_kernel_pm
+    from video_restore_tpu.ops.pallas_stripe import pack_prefix_weights
+
+    b, h1, w1, nf = x1.shape
+    bh1 = block_h or 16
+    wf1 = _PADL + w1 + _PADL
+    wf1 += (8 - wf1 % 8) % 8
+    row_chunk = max(2, min(row_chunk, (row_chunk * 1024) // wf1))
+    cpad = (128 - nf % 128) % 128
+    hp1 = h1 + (bh1 - h1 % bh1) % bh1
+    nstripes = hp1 // bh1
+    xp = jnp.pad(
+        x1,
+        (
+            (0, 0),
+            (1, 1 + hp1 - h1),
+            (_PADL, wf1 - w1 - _PADL),
+            (0, cpad),
+        ),
+    )
+    ku = pack_prefix_weights(
+        [fold_dy(up_phase_kernel_pm(w_up1))], pack=(0,)
+    )[0].astype(x1.dtype)  # (192, 768)
+    bu = jnp.tile(b_up1, 4).reshape(1, 1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _up1_kernel,
+        bh1=bh1, nf=nf, nstripes=nstripes, nb=b, rc=row_chunk,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, 2 * bh1, wf1, 2 * nf), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * hp1, wf1, 2 * nf), x1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh1 + 2, wf1, nf + cpad), x1.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, ku, bu)
+    # (B, 2*hp1, Wf1, (b, o)) -> (B, 2*hp1, 2*Wf1, nf): adjacent lane
+    # pairs ARE adjacent fine columns (free reshape), then crop
+    out = out.reshape(b, 2 * hp1, 2 * wf1, nf)
+    return out[:, : 2 * h1, 2 * _PADL : 2 * _PADL + 2 * w1]
