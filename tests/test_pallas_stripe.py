@@ -368,6 +368,72 @@ def test_up1_fused_kernel_parity(rng):
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_conv3x3_fused_kernel_parity(rng):
+    """Generic fused 3x3 stripe conv (conv_first / conv_body+residual
+    glue kernel) == conv2d, interpret mode: cin=3 stem shape, residual
+    form, lrelu form, non-dividing stripe height."""
+    from video_restore_tpu.ops.conv import conv2d, leaky_relu
+    from video_restore_tpu.ops.pallas_tail import conv3x3_fused
+
+    cases = (
+        (3, 16, "none", False, 20),
+        (16, 16, "none", True, 18),
+        (16, 16, "lrelu", False, 20),
+    )
+    for cin, cout, act, use_res, h in cases:
+        x = jnp.asarray(rng.random((2, h, 24, cin)), jnp.float32)
+        w = jnp.asarray(rng.random((3, 3, cin, cout)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.random((cout,)) * 0.1, jnp.float32)
+        res = (
+            jnp.asarray(rng.random((2, h, 24, cout)), jnp.float32)
+            if use_res else None
+        )
+        ref = conv2d(x, w, b)
+        if act == "lrelu":
+            ref = leaky_relu(ref)
+        if use_res:
+            ref = ref + res
+        got = conv3x3_fused(x, w, b, res, act=act, block_h=4,
+                            interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_full_model_glue_kernels(rng, monkeypatch):
+    """Production path with VRT_GLUE_KERNEL=1 (stem + conv_body/residual
+    stripe kernels, interpret-mocked) == the plain XLA path."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_tail as pt
+    from video_restore_tpu.models.rrdbnet import apply_rrdbnet
+
+    monkeypatch.setenv("VRT_GLUE_KERNEL", "1")
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=2)
+    params = init_rrdbnet(jax.random.PRNGKey(7), spec)
+    x = jnp.asarray(rng.random((1, 20, 16, 3)).astype(np.float32))
+    # naive=True is a different _apply static key — the production
+    # (gated) program would otherwise be served from the jit cache,
+    # compiled before the env flip / mock could take effect
+    ref = np.asarray(apply_rrdbnet(params, x, spec, naive=True))
+
+    orig = pt.conv3x3_fused
+    calls = []
+
+    def interp(xx, w, b, res=None, **kw):
+        calls.append(xx.shape)
+        kw["interpret"] = True
+        return orig(xx, w, b, res, **kw)
+
+    from video_restore_tpu.models.rrdbnet import _apply
+
+    _apply.clear_cache()  # other tests may have cached these statics
+    with mock.patch.object(pt, "conv3x3_fused", interp):
+        got = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+    assert len(calls) == 2  # stem + conv_body
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_full_model_stripe_im2col_env(rng, monkeypatch):
     """Production path with VRT_IM2COL=23 (im2col on the sources N-packing
     leaves alone) == the plain XLA path, unprepared and prepared."""

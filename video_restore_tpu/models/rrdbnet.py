@@ -490,7 +490,18 @@ def _apply(
         body_out = conv3x3_sd(body_out, k_body, params["conv_body"]["b"])
         feat = sd_merge(phase_map(lambda a, b: a + b, feat, body_out))
     else:
-        feat = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
+        if not naive and not differentiable and default_use_glue_kernel():
+            # XLA runs the cin=3 stem at 0.8 TF/s in a T(1,128) f32
+            # layout at full-frame widths (8.9 ms/frame traced)
+            from video_restore_tpu.ops.pallas_tail import conv3x3_fused
+
+            feat = conv3x3_fused(
+                x, params["conv_first"]["w"], params["conv_first"]["b"]
+            )
+        else:
+            feat = conv2d(
+                x, params["conv_first"]["w"], params["conv_first"]["b"]
+            )
 
         if naive:
             def block_step(h, bp):
@@ -571,10 +582,21 @@ def _apply(
                 body_out = unpad_stripe_exit(body_out, fh, fw, nf)
         else:
             body_out, _ = lax.scan(block_step, feat, body)
-        body_out = conv2d(
-            body_out, params["conv_body"]["w"], params["conv_body"]["b"]
-        )
-        feat = feat + body_out
+        if not naive and not differentiable and default_use_glue_kernel():
+            # conv_body + residual fused (XLA form: ~16 TF/s + an 8.9 ms
+            # add/convert fusion at full-frame widths)
+            from video_restore_tpu.ops.pallas_tail import conv3x3_fused
+
+            feat = conv3x3_fused(
+                body_out,
+                params["conv_body"]["w"], params["conv_body"]["b"],
+                feat,
+            )
+        else:
+            body_out = conv2d(
+                body_out, params["conv_body"]["w"], params["conv_body"]["b"]
+            )
+            feat = feat + body_out
 
     # ESRGAN-style x2 nets (BSRGANx2) have a single upsample stage and no
     # conv_up2 param (RRDBNetSpec.num_upsample)
@@ -719,6 +741,23 @@ def default_use_accum() -> bool:
 
     if os.environ.get("VRT_ACCUM") == "0":
         return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def default_use_glue_kernel() -> bool:
+    """Stripe-kernel form of the stem conv_first and conv_body+residual
+    (ops/pallas_tail.py conv3x3_fused) — default on TPU; VRT_GLUE_KERNEL
+    overrides (0/1)."""
+    import os
+
+    v = os.environ.get("VRT_GLUE_KERNEL")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:

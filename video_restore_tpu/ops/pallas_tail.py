@@ -1,4 +1,11 @@
-"""Pallas TPU kernel: fused RRDBNet tail (upconv2 + conv_hr + conv_last).
+"""Pallas TPU kernels for everything around the RRDBNet body: the fused
+tail (upconv2 + conv_hr + conv_last), the fused phase-form upconv1
+(up1_fused), and the glue convs (conv3x3_fused: stem conv_first,
+conv_body + residual). Together with the stripe body kernels
+(ops/pallas_stripe.py) the full-frame production forward runs every conv
+in Pallas; XLA keeps only pads/slices and the post stack.
+
+== The fused tail ==
 
 The round-3 flagship trace put the tail at ~98 ms/frame: upconv2's
 conv_transpose at 42 TF/s (25.8 ms), conv_hr at 65 TF/s in XLA's 5-D conv
@@ -131,7 +138,7 @@ def _interleave_rows(y: jax.Array) -> jax.Array:
 
 
 def _tail_kernel(
-    xh_ref,  # (B, H2 + pads, Wf2, 128) ANY/HBM — 2x-grid activations
+    xh_ref,  # (B, H2 + pads, Wf2, nf) ANY/HBM — 2x-grid activations
     ku2,  # (192, 768) dx-packed phase-form upconv2 kernel, VMEM
     khr,  # (384, 384) W-sd conv_hr kernel
     klast,  # (384, 18) W-sd conv_last kernel
@@ -252,8 +259,18 @@ def tail_fused(
     # the live fp32 accumulator chunk is (rc, wf2, 768)x4B; rc=8 was
     # anchored at tile widths (wf2~1024, ~25MB) — at full-frame widths
     # scale rc down to keep that footprint, else the kernel VMEM-OOMs
-    # (seen at wf2=3856: 95MB scoped alloc)
-    row_chunk = max(2, min(row_chunk, (row_chunk * 1024) // wf2))
+    # (seen at wf2=3856: 95MB scoped alloc). VRT_TAIL_RC overrides for
+    # tuning.
+    import os
+
+    rc_env = os.environ.get("VRT_TAIL_RC")
+    if rc_env:
+        row_chunk = int(rc_env)
+    else:
+        row_chunk = max(2, min(row_chunk, (row_chunk * 1024) // wf2))
+    # lane cpad to 128: Mosaic requires HBM DMA operands' minor dim
+    # aligned to the 128-lane tile ("Slice shape along dimension 3 must
+    # be aligned to tiling (128)"); the VMEM-side :nf slice is fine
     cpad = (128 - nf % 128) % 128
     hp2 = h2 + (bh2 - h2 % bh2) % bh2
     nstripes = hp2 // bh2
@@ -435,3 +452,195 @@ def up1_fused(
     # pairs ARE adjacent fine columns (free reshape), then crop
     out = out.reshape(b, 2 * hp1, 2 * wf1, nf)
     return out[:, : 2 * h1, 2 * _PADL : 2 * _PADL + 2 * w1]
+
+
+def _conv3x3_kernel(
+    xp_ref,  # (B, hp + 2, Wf, cin) ANY/HBM
+    *rest,
+    bh: int,
+    cin: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+    act: str,
+    has_res: bool,
+):
+    if has_res:
+        rp_ref, ku, bb, out_ref, xblk, rblk, sem, rsem = rest
+    else:
+        ku, bb, out_ref, xblk, sem = rest
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh + 2
+
+    def dma(slot, idx):
+        bbt = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xp_ref.at[bbt, pl.ds(ii * bh, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    def rdma(slot, idx):
+        bbt = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            rp_ref.at[bbt, pl.ds(ii * bh, bh)],
+            rblk.at[slot],
+            rsem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+        if has_res:
+            rdma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+        if has_res:
+            rdma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    if has_res:
+        rdma(m % 2, m).wait()
+        resblk = rblk[m % 2]
+    # cin here is the zero-padded K width (>= 64): Mosaic supports
+    # 64-granular VMEM lane slices but not sub-64
+    x = xblk[m % 2][:, :, :cin]
+    dt = x.dtype
+
+    # terminal kernel: zero-padded input gives exact SAME-conv borders,
+    # roll wrap-around stays inside the _PADL margins (sliced off in XLA)
+    def post(q, r0):
+        q = q + bb[0]
+        if act == "lrelu":
+            q = jax.nn.leaky_relu(q, 0.2)
+        if has_res:
+            r = resblk[r0 : r0 + q.shape[0], :, : q.shape[2]]
+            q = q + r.astype(jnp.float32)
+        return q.astype(dt)
+
+    out_ref[0] = _conv_chunked(x, ku[:], (-1, 0, 1), post, rc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "block_h", "interpret", "row_chunk"),
+)
+def conv3x3_fused(
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array,
+    res: jax.Array | None = None,
+    *,
+    act: str = "none",
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Plain SAME 3x3 conv as a stripe Pallas kernel, with optional
+    leaky-relu and optional residual add fused into the output chunks:
+    ``act(conv2d(x, w, bias)) + res``.
+
+    Replaces two slow XLA glue ops in the flagship trace (full-frame
+    1080p): conv_first ran 0.8 TF/s (cin=3 starves the MXU in XLA's
+    chosen T(1,128) f32 layout; 8.9 ms/frame) and conv_body + residual
+    ran ~16 TF/s (18 ms/frame). Same dx-packed contraction as the other
+    stripe kernels: (M, 3*cin) x (3*cin, 3*cout), slice + hardware-roll
+    + add, fp32 row chunks.
+    """
+    b, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    bh = block_h or 32
+    wf = _PADL + wdt + _PADL
+    wf += (8 - wf % 8) % 8
+    rc = max(2, min(row_chunk, (row_chunk * 1024) // wf))
+    hp = h + (bh - h % bh) % bh
+    nstripes = hp // bh
+    # Mosaic DMA alignment: HBM operands' minor dim must be a multiple
+    # of the 128-lane tile; VMEM lane slices are 64-granular. So the
+    # input is zero-padded to 128 lanes for the DMA and K is zero-padded
+    # to the 64-granular slice width (cin=3 stem -> K rows 3..63 are
+    # zeros and contribute nothing).
+    cin_k = 64 if cin <= 64 else _round_up128(cin)
+    lanes = _round_up128(cin_k)
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (1, 1 + hp - h),
+            (_PADL, wf - wdt - _PADL),
+            (0, lanes - cin),
+        ),
+    )
+    wk = jnp.pad(w, ((0, 0), (0, 0), (0, cin_k - cin), (0, 0)))
+    ku = pack_prefix_weights_generic(wk).astype(x.dtype)  # (3cin_k, 3cout)
+    bb = bias.reshape(1, 1, -1).astype(jnp.float32)
+
+    operands = [xp]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [
+        pltpu.VMEM((2, bh + 2, wf, lanes), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    has_res = res is not None
+    if has_res:
+        rlanes = _round_up128(cout)
+        rp = jnp.pad(
+            res,
+            (
+                (0, 0),
+                (0, hp - h),
+                (_PADL, wf - wdt - _PADL),
+                (0, rlanes - cout),
+            ),
+        )
+        operands.append(rp)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch = [
+            pltpu.VMEM((2, bh + 2, wf, lanes), x.dtype),
+            pltpu.VMEM((2, bh, wf, rlanes), res.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    operands += [ku, bb]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    kernel = functools.partial(
+        _conv3x3_kernel,
+        bh=bh, cin=cin_k, nstripes=nstripes, nb=b, rc=rc,
+        act=act, has_res=has_res,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, bh, wf, cout), lambda bb_, i: (bb_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wf, cout), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :h, _PADL : _PADL + wdt]
+
+
+def _round_up128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def pack_prefix_weights_generic(w: jax.Array) -> jax.Array:
+    """(3, 3, cin, cout) -> dx-packed (3*cin, 3*cout), lane blocks
+    [dx=0 | dx=1 | dx=2], dy folded into K (dy-major)."""
+    k = fold_dy(w)  # (3, 3*cin, cout)
+    k = jnp.swapaxes(k, 0, 1)  # (3*cin, 3, cout)
+    return k.reshape(k.shape[0], 3 * k.shape[-1])
