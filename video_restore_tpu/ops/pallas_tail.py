@@ -246,7 +246,12 @@ def tail_fused(
     # measured on v5e at wf2=1024 (flagship tile): bh2 8/16/32 ->
     # 83/43/41 ms per 4-tile call; VMEM scales ~linearly with bh2*wf2,
     # anchor: bh2=32 at wf2=1024 compiles (~130MB peak)
-    if block_h:
+    import os as _os
+
+    bh_env = _os.environ.get("VRT_TAIL_BH")
+    if bh_env:
+        bh2 = int(bh_env)
+    elif block_h:
         bh2 = block_h
     elif w2 <= 1100:
         bh2 = 32
