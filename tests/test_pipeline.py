@@ -35,6 +35,36 @@ def _cfg(**kw):
     return RestoreConfig(**defaults)
 
 
+def test_full_frame_auto_upgrade(monkeypatch):
+    """full_frame='auto' + an active stripe body upgrades an RRDBNet
+    bucket to tile=0 (regression: the branch only runs on TPU, where a
+    missing import crashed the whole pipeline)."""
+    from video_restore_tpu.models.rrdbnet import RRDBNetSpec, init_rrdbnet
+
+    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=4)
+    model = ModelHandle(
+        "tiny-rrdb", spec, init_rrdbnet(jax.random.PRNGKey(1), spec)
+    )
+    cfg = _cfg(model_name="RealESRGAN_x4plus", full_frame="auto")
+    r = VideoRestorer(cfg, model=model)
+    monkeypatch.setenv("VRT_STRIPE", "1")  # force the TPU gate on CPU
+    import video_restore_tpu.pipeline.runner as rn
+
+    # don't actually run the stripe kernels — just build the grid
+    monkeypatch.setattr(
+        rn, "ShardedUpscaler",
+        lambda m, grid, c, mesh, **kw: grid,
+    )
+    grid = r._upscaler_for(24, 32)
+    assert grid.n_tiles == 1  # upgraded to full-frame
+    # 'off' honours tile_size
+    r2 = VideoRestorer(
+        _cfg(model_name="RealESRGAN_x4plus", full_frame="off"), model=model
+    )
+    grid2 = r2._upscaler_for(24, 32)
+    assert grid2.n_tiles > 1
+
+
 def test_end_to_end_npz(tmp_path, tiny_frames):
     src = tmp_path / "in.npz"
     dst = tmp_path / "out.npz"

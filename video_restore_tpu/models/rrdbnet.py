@@ -557,6 +557,10 @@ def _apply(
             )
 
             fh, fw = feat.shape[1], feat.shape[2]
+            # unroll>1 elides the lax.scan carry copies (the padded body
+            # array is ~660MB at full frame; the trace showed ~6 ms/frame
+            # of scan carry copies) at the cost of a larger program
+            unroll = int(os.environ.get("VRT_BODY_UNROLL", "1"))
             blocks = stripe2d_selection(fh, fw)
             if blocks is not None:
                 bh2, bw2 = blocks
@@ -568,7 +572,7 @@ def _apply(
                         None,
                     )
 
-                body_out, _ = lax.scan(stripe_step, xp, body)
+                body_out, _ = lax.scan(stripe_step, xp, body, unroll=unroll)
                 body_out = unpad_stripe2d_exit(
                     body_out, fh, fw, nf, block_h=bh2, block_w=bw2
                 )
@@ -578,7 +582,7 @@ def _apply(
                 def stripe_step(hc, bp):
                     return _rrdb_apply_stripe(bp, hc, fh, fw), None
 
-                body_out, _ = lax.scan(stripe_step, xp, body)
+                body_out, _ = lax.scan(stripe_step, xp, body, unroll=unroll)
                 body_out = unpad_stripe_exit(body_out, fh, fw, nf)
         else:
             body_out, _ = lax.scan(block_step, feat, body)

@@ -36,7 +36,11 @@ import numpy as np
 
 from video_restore_tpu.config import RestoreConfig
 from video_restore_tpu.models.zoo import ModelHandle, get_model
-from video_restore_tpu.ops.tiles import TileGrid, auto_tile_chunk
+from video_restore_tpu.ops.tiles import (
+    TileGrid,
+    auto_full_frame,
+    auto_tile_chunk,
+)
 from video_restore_tpu.parallel.dispatch import ShardedUpscaler
 from video_restore_tpu.parallel.mesh import frame_mesh
 from video_restore_tpu.pipeline.progress import Progress
