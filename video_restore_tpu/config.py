@@ -171,6 +171,14 @@ class RestoreConfig:
             raise ValueError("shard_mode must be 'frames' or 'tiles'")
         if self.full_frame not in ("auto", "on", "off"):
             raise ValueError("full_frame must be 'auto', 'on' or 'off'")
+        if self.shard_mode == "tiles" and (
+            self.tile_size == 0 or self.full_frame == "on"
+        ):
+            raise ValueError(
+                "shard_mode='tiles' parallelizes over the tile axis and "
+                "is incompatible with full-frame mode (tile_size=0 / "
+                "full_frame='on')"
+            )
 
     @property
     def post_enabled(self) -> bool:

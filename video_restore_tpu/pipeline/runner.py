@@ -197,7 +197,13 @@ class VideoRestorer:
         if key not in self._upscalers:
             cfg = self.config
             tile = cfg.tile_size
-            if tile != 0 and not cfg.legacy_tiling:
+            if (
+                tile != 0
+                and not cfg.legacy_tiling
+                # tiles shard-mode parallelizes over the tile axis — a
+                # single full-frame tile would leave n-1 devices idle
+                and getattr(cfg, "shard_mode", "frames") != "tiles"
+            ):
                 ff = getattr(cfg, "full_frame", "off")
                 if ff == "on":
                     tile = 0
