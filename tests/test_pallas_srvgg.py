@@ -66,12 +66,19 @@ def test_srvgg_model_stripe_path(rng):
     ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
 
     orig = pk.srvgg_stripe_padded
+    orig_up = pk.srvgg_up_fused
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return orig(*a, **kw)
 
-    with mock.patch.object(pk, "srvgg_stripe_padded", interp):
+    def interp_up(*a, **kw):
+        kw["interpret"] = True
+        return orig_up(*a, **kw)
+
+    with mock.patch.object(
+        pk, "srvgg_stripe_padded", interp
+    ), mock.patch.object(pk, "srvgg_up_fused", interp_up):
         out = np.asarray(_apply(params, x, spec.scale, stripe=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
@@ -87,11 +94,47 @@ def test_srvgg_model_stripe_im2col(rng, monkeypatch):
     ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
 
     orig = pk.srvgg_stripe_padded
+    orig_up = pk.srvgg_up_fused
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return orig(*a, **kw)
 
-    with mock.patch.object(pk, "srvgg_stripe_padded", interp):
+    def interp_up(*a, **kw):
+        kw["interpret"] = True
+        return orig_up(*a, **kw)
+
+    with mock.patch.object(
+        pk, "srvgg_stripe_padded", interp
+    ), mock.patch.object(pk, "srvgg_up_fused", interp_up):
         out = np.asarray(_apply(params, x, spec.scale, stripe=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_srvgg_up_fused_parity(rng):
+    """Fused upsampler (conv_out + pixel_shuffle + nearest skip) == the
+    XLA composition, r=4 and r=2, interpret mode."""
+    from video_restore_tpu.ops.conv import (
+        conv2d,
+        pixel_shuffle,
+        upsample_nearest,
+    )
+    from video_restore_tpu.ops.pallas_srvgg import srvgg_up_fused
+
+    nf = 16
+    for r, h, w in ((4, 20, 24), (2, 18, 24)):
+        feat = jnp.asarray(rng.random((2, h, w, nf)), jnp.float32)
+        xin = jnp.asarray(rng.random((2, h, w, 3)), jnp.float32)
+        wo = jnp.asarray(
+            rng.random((3, 3, nf, 3 * r * r)) * 0.1, jnp.float32
+        )
+        bo = jnp.asarray(rng.random((3 * r * r,)) * 0.1, jnp.float32)
+        ref = pixel_shuffle(conv2d(feat, wo, bo), r) + upsample_nearest(
+            xin, r
+        )
+        got = srvgg_up_fused(
+            feat, wo, bo, xin, r=r, block_h=4, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )

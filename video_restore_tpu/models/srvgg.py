@@ -15,6 +15,7 @@ The ``num_conv`` identical body convs are stacked and run with ``lax.scan``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict
 
@@ -152,6 +153,16 @@ def _apply(
             return prelu(conv2d(h, bp["w"], bp["b"]), bp["alpha"]), None
 
         feat, _ = lax.scan(step, feat, params["body"])
+    if stripe and os.environ.get("VRT_SRVGG_UP", "1") != "0":
+        # fused upsampler kernel: the XLA pixel_shuffle transposes +
+        # 12 TF/s N=48 conv_out cost ~27 ms/frame at 1080p (BENCH_NOTES
+        # round 3); the phase-lane form makes both free
+        from video_restore_tpu.ops.pallas_srvgg import srvgg_up_fused
+
+        return srvgg_up_fused(
+            feat, params["conv_out"]["w"], params["conv_out"]["b"], x,
+            r=scale,
+        )
     out = conv2d(feat, params["conv_out"]["w"], params["conv_out"]["b"])
     out = pixel_shuffle(out, scale)
     return out + upsample_nearest(x, scale)

@@ -180,3 +180,188 @@ def srvgg_stripe_padded(
         bs.reshape(group, 1, nf).astype(jnp.float32),
         alphas.reshape(group, 1, nf).astype(jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused upsampler: conv_out + r-x pixel_shuffle + nearest-upsample skip add
+# in one stripe kernel. The XLA form cost ~27 ms/frame at 1080p (config 4
+# trace): the pixel_shuffle transposes (reshape + 6-D copy, ~19 ms) plus a
+# 12 TF/s conv_last (N=48 lane occupancy). Phase-form layout trick (same as
+# ops/pallas_tail.up1_fused, generalized to r phases): the conv emits
+# lanes (a, b, o_pad) with o padded to 64//r, so the r row phases
+# interleave through 64-lane slices + the free leading dim, and the r
+# column phases materialize with ONE free reshape (lane blocks (b, o_pad)
+# ARE adjacent fine columns). The nearest-4x skip rides along as a
+# b-replicated 64-lane addend in the fp32 chunks.
+# ---------------------------------------------------------------------------
+
+
+def _up_phase_weights(w: jax.Array, bias: jax.Array, r: int):
+    """torch-pixel_shuffle-ordered conv_out weights (3,3,cin, cout*r*r,
+    channel index o*r*r + a*r + b) -> phase-lane kernel (3,3,cin, r*64)
+    with lane index a*64 + b*opad + o (opad = 64//r), plus the matching
+    bias (r*64,)."""
+    kh, kw, cin, crr = w.shape
+    cout = crr // (r * r)
+    opad = 64 // r
+    w6 = w.reshape(kh, kw, cin, cout, r, r)  # (..., o, a, b)
+    w6 = jnp.transpose(w6, (0, 1, 2, 4, 5, 3))  # (..., a, b, o)
+    w6 = jnp.pad(
+        w6, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, opad - cout))
+    )
+    wk = w6.reshape(kh, kw, cin, r * 64)
+    b6 = bias.reshape(cout, r, r)
+    b6 = jnp.transpose(b6, (1, 2, 0))  # (a, b, o)
+    b6 = jnp.pad(b6, ((0, 0), (0, 0), (0, opad - cout)))
+    return wk, b6.reshape(r * 64)
+
+
+def _srvgg_up_kernel(
+    xp_ref,  # (B, hp + 2, Wf, lanes) ANY/HBM — body output, padded
+    sp_ref,  # (B, hp, Wf, 128) ANY/HBM — phase-replicated skip input
+    ku,  # (3*cin_k, 3*r*64) dx-packed phase kernel, VMEM
+    bu,  # (1, 1, r*64) fp32
+    out_ref,  # (1, r*bh, Wf, 64) VMEM block
+    xblk,  # (2, bh + 2, Wf, lanes)
+    sblk,  # (2, bh, Wf, 128)
+    sem,
+    ssem,
+    *,
+    bh: int,
+    cin: int,
+    r: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+):
+    from video_restore_tpu.ops.pallas_tail import _conv_chunked
+
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh + 2
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh, he)], xblk.at[slot], sem.at[slot]
+        )
+
+    def sdma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            sp_ref.at[bb, pl.ds(ii * bh, bh)], sblk.at[slot], ssem.at[slot]
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+        sdma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+        sdma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    sdma(m % 2, m).wait()
+    x = xblk[m % 2][:, :, :cin]
+    skip = sblk[m % 2][:, :, :64]
+    dt = x.dtype
+
+    # terminal kernel (output sliced to the frame in XLA): zero-padded
+    # input gives exact SAME-conv borders, roll wrap stays in _PADL
+    def post(q, r0):
+        q = q + bu[0]
+        s = skip[r0 : r0 + q.shape[0]].astype(jnp.float32)
+        if r > 1:
+            s = jnp.concatenate([s] * r, axis=2)  # per-a-phase addend
+        return (q + s).astype(dt)
+
+    y = _conv_chunked(x, ku[:], (-1, 0, 1), post, rc)  # (bh, wf, r*64)
+    # r-way row interleave through the free leading dim (64-lane slices)
+    parts = [y[:, :, i * 64 : (i + 1) * 64] for i in range(r)]
+    t = jnp.stack(parts, axis=1)  # (bh, r, wf, 64)
+    out_ref[0] = t.reshape(bh * r, y.shape[1], 64)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "block_h", "interpret", "row_chunk")
+)
+def srvgg_up_fused(
+    feat: jax.Array,
+    w_out: jax.Array,
+    b_out: jax.Array,
+    x_in: jax.Array,
+    *,
+    r: int = 4,
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """``pixel_shuffle(conv2d(feat, w_out, b_out), r) +
+    upsample_nearest(x_in, r)`` as one stripe kernel.
+
+    feat (B, H, W, nf), x_in (B, H, W, cout) -> (B, r*H, r*W, cout).
+    """
+    b, h, w, nf = feat.shape
+    cout = w_out.shape[-1] // (r * r)
+    opad = 64 // r
+    bh = block_h or 16
+    wf = _PADL + w + _PADL
+    wf += (8 - wf % 8) % 8
+    rc = max(2, min(row_chunk, (row_chunk * 1024) // wf))
+    hp = h + (bh - h % bh) % bh
+    nstripes = hp // bh
+    lanes = nf + (128 - nf % 128) % 128
+    xp = jnp.pad(
+        feat,
+        ((0, 0), (1, 1 + hp - h), (_PADL, wf - w - _PADL), (0, lanes - nf)),
+    )
+    # phase-replicated skip: lanes (b, o_pad) so adding it to each
+    # 64-lane a-block IS the nearest-r upsample
+    sk = jnp.pad(x_in, ((0, 0), (0, 0), (0, 0), (0, opad - cout)))
+    sk = jnp.tile(sk, (1, 1, 1, r))  # (B, h, w, 64)
+    sp = jnp.pad(
+        sk, ((0, 0), (0, hp - h), (_PADL, wf - w - _PADL), (0, 64))
+    )
+    wk, bk = _up_phase_weights(w_out, b_out, r)
+    from video_restore_tpu.ops.pallas_tail import (
+        pack_prefix_weights_generic,
+    )
+
+    ku = pack_prefix_weights_generic(wk).astype(feat.dtype)
+    bu = bk.reshape(1, 1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _srvgg_up_kernel,
+        bh=bh, cin=nf, r=r, nstripes=nstripes, nb=b, rc=rc,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, r * bh, wf, 64), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r * hp, wf, 64), feat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, wf, lanes), feat.dtype),
+            pltpu.VMEM((2, bh, wf, 128), feat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, sp, ku, bu)
+    # (B, r*hp, Wf, (b, o_pad)) -> (B, r*hp, r*Wf, o_pad): adjacent lane
+    # blocks ARE adjacent fine columns (free reshape), then crop
+    out = out.reshape(b, r * hp, r * wf, opad)
+    return out[:, : r * h, r * _PADL : r * _PADL + r * w, :cout]
