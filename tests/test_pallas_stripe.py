@@ -368,6 +368,45 @@ def test_up1_fused_kernel_parity(rng):
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_tail_fused_q_parity(rng):
+    """Quad tail (tail_fused_q on up1_fused's raw masked output) == the
+    XLA upconv1->upconv2->conv_hr->conv_last chain, interpret mode.
+
+    Biases are shifted +0.3 to keep pre-activations away from the
+    leaky-relu kink: the quad form sums conv taps in a different order,
+    and a near-zero pre-activation crossing the kink under fp
+    reassociation turns an O(eps) difference into O(|x|) — observed once
+    with unshifted random weights (0.012 at one pixel), bit-fine
+    everywhere else.
+    """
+    from video_restore_tpu.ops.conv import conv2d, leaky_relu, upconv2x
+    from video_restore_tpu.ops.pallas_tail import up1_fused, tail_fused_q
+
+    nf = 8
+
+    def mk(s):
+        return jnp.asarray(rng.random(s) * 0.1, jnp.float32)
+
+    for h1, w1 in ((12, 16), (10, 20)):
+        x1 = jnp.asarray(rng.random((1, h1, w1, nf)), jnp.float32)
+        wu1, bu1 = mk((3, 3, nf, nf)), mk((nf,)) + 0.3
+        wu2, bu2 = mk((3, 3, nf, nf)), mk((nf,)) + 0.3
+        whr, bhr = mk((3, 3, nf, nf)), mk((nf,)) + 0.3
+        wl, bl = mk((3, 3, nf, 3)), mk((3,))
+        f = leaky_relu(upconv2x(x1, wu1, bu1))
+        f = leaky_relu(upconv2x(f, wu2, bu2))
+        f = leaky_relu(conv2d(f, whr, bhr))
+        ref = np.asarray(conv2d(f, wl, bl))
+        xq = up1_fused(x1, wu1, bu1, masked=True, block_h=4,
+                       interpret=True)
+        got = np.asarray(
+            tail_fused_q(xq, wu2, bu2, whr, bhr, wl, bl,
+                         h2=2 * h1, w1=w1, block_h=4, interpret=True)
+        )
+        assert got.shape == ref.shape == (1, 4 * h1, 4 * w1, 3)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_conv3x3_fused_kernel_parity(rng):
     """Generic fused 3x3 stripe conv (conv_first / conv_body+residual
     glue kernel) == conv2d, interpret mode: cin=3 stem shape, residual

@@ -633,6 +633,24 @@ def _apply(
         # fine-grid reshape). VRT_UP1_KERNEL=0 restores the XLA form,
         # VRT_UP1_PHASE=1 the XLA phase form (measured alternatives).
         if os.environ.get("VRT_UP1_KERNEL", "1") != "0":
+            if os.environ.get("VRT_TAIL_Q") == "1":
+                # quad tail: consume up1's raw (b, o)-packed output
+                # directly (the two-kernel chain paid ~20 ms/frame of
+                # relayout glue at full frame)
+                from video_restore_tpu.ops.pallas_tail import tail_fused_q
+
+                xq = up1_fused(
+                    feat,
+                    params["conv_up1"]["w"], params["conv_up1"]["b"],
+                    masked=True,
+                )
+                return tail_fused_q(
+                    xq,
+                    params["conv_up2"]["w"], params["conv_up2"]["b"],
+                    params["conv_hr"]["w"], params["conv_hr"]["b"],
+                    params["conv_last"]["w"], params["conv_last"]["b"],
+                    h2=2 * feat.shape[1], w1=feat.shape[2],
+                )
             feat = up1_fused(
                 feat, params["conv_up1"]["w"], params["conv_up1"]["b"]
             )

@@ -338,10 +338,14 @@ def _up1_kernel(
     sem,  # DMA semaphores (2,)
     *,
     bh1: int,
+    h1: int,
+    w1: int,
+    wf1: int,
     nf: int,
     nstripes: int,
     nb: int,
     rc: int,
+    masked: bool,
 ):
     bi = pl.program_id(0)
     si = pl.program_id(1)
@@ -369,19 +373,32 @@ def _up1_kernel(
     x = xblk[m % 2][:, :, :nf]
     dt = x.dtype
 
-    # no frame masks: this kernel is terminal (its output is sliced to
-    # the frame in XLA, not chained), and the zero-padded input already
-    # gives exact SAME-conv border semantics; roll wrap-around lands in
-    # the _PADL margins, which the slice drops
-    def post(q, r0):
-        return jax.nn.leaky_relu(q + bu[0], 0.2).astype(dt)
+    if masked:
+        # chained form (tail_fused_q consumes the raw output): zero
+        # everything outside the frame, including the _PADL margins
+        # where roll wrap-around lands
+        cols = lax.broadcasted_iota(jnp.int32, (1, wf1, 1), 1)
+        col_ok = (cols >= _PADL) & (cols < _PADL + w1)
+
+        def post(q, r0):
+            rows = lax.broadcasted_iota(jnp.int32, (q.shape[0], 1, 1), 0)
+            ok = ((rows + si * bh1 + r0) < h1) & col_ok
+            q = jax.nn.leaky_relu(q + bu[0], 0.2)
+            return jnp.where(ok, q, 0.0).astype(dt)
+
+    else:
+        # terminal form: output is sliced to the frame in XLA, and the
+        # zero-padded input already gives exact SAME-conv borders
+        def post(q, r0):
+            return jax.nn.leaky_relu(q + bu[0], 0.2).astype(dt)
 
     y = _conv_chunked(x, ku[:], (-1, 0, 1), post, rc)  # (bh1, wf1, 256)
     out_ref[0] = _interleave_rows(y)  # (2*bh1, wf1, (b, o))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_h", "interpret", "row_chunk")
+    jax.jit,
+    static_argnames=("block_h", "interpret", "row_chunk", "masked"),
 )
 def up1_fused(
     x1: jax.Array,
@@ -390,6 +407,7 @@ def up1_fused(
     *,
     block_h: int | None = None,
     row_chunk: int = 4,
+    masked: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused phase-form upconv1: ``leaky_relu(upconv2x(x1, w, b))`` as a
@@ -431,7 +449,8 @@ def up1_fused(
 
     kernel = functools.partial(
         _up1_kernel,
-        bh1=bh1, nf=nf, nstripes=nstripes, nb=b, rc=row_chunk,
+        bh1=bh1, h1=h1, w1=w1, wf1=wf1, nf=nf,
+        nstripes=nstripes, nb=b, rc=row_chunk, masked=masked,
     )
     out = pl.pallas_call(
         kernel,
@@ -453,6 +472,10 @@ def up1_fused(
         ),
         interpret=interpret,
     )(xp, ku, bu)
+    if masked:
+        # raw padded form for tail_fused_q: (B, 2*hp1, Wf1, (b, o)),
+        # exact zeros outside the frame
+        return out
     # (B, 2*hp1, Wf1, (b, o)) -> (B, 2*hp1, 2*Wf1, nf): adjacent lane
     # pairs ARE adjacent fine columns (free reshape), then crop
     out = out.reshape(b, 2 * hp1, 2 * wf1, nf)
@@ -649,3 +672,216 @@ def pack_prefix_weights_generic(w: jax.Array) -> jax.Array:
     k = fold_dy(w)  # (3, 3*cin, cout)
     k = jnp.swapaxes(k, 0, 1)  # (3*cin, 3, cout)
     return k.reshape(k.shape[0], 3 * k.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Quad-W-sd tail: consume up1_fused's RAW output. The two-kernel tail
+# (up1_fused -> XLA reshape/slice/pad -> tail_fused) paid ~20 ms/frame of
+# pure relayout glue at full frame (trace: copy.266 + slice + copy.316 +
+# pad.26). Here the tail's three convs run directly in up1's native
+# layout — rows = 2x grid, columns = coarse W, lanes = (b, o) column
+# pairs — so the only XLA op between the two kernels is a cheap
+# rows-halo pad. Composition rule: a 3x3 conv on an r-way column-packed
+# grid is K = 3(dy) x (r*cin) against N = 3(dv) x (r*cout) with
+# structural zeros, exactly wsd_kernel generalized to r phases; upconv2
+# is its phase-form kernel pushed through the SAME transform one level
+# down (r=2 in, 4-phase out), and conv_hr/conv_last run at r=4 (quad)
+# where the final (q, o_pad) lane blocks bitcast straight to RGB columns.
+# Bonus: at the coarse width (wf1 ~ half of wf2) the fp32 row chunks
+# fit rc=4, recovering the tile-width chunking the 3856-wide form lost.
+# ---------------------------------------------------------------------------
+
+
+def wsd_kernel_r(w: jax.Array, r: int, cin_block: int = 64) -> jax.Array:
+    """(3, 3, cin, cout) fine conv kernel -> r-way column-packed
+    (3*r*cin, 3*(r*cout)) matrix.
+
+    K index = dy*(r*cin) + q''*cin + o''; N index = (dv+1)*(r*cout)
+    + q*cout + o, with q'' = (q+dx-1) mod r, dv = floor((q+dx-1)/r).
+    """
+    _, _, cin, cout = w.shape
+    w = w.astype(jnp.float32)
+    m = jnp.zeros((3 * r * cin, 3 * r * cout), jnp.float32)
+    for q in range(r):
+        for dx in (0, 1, 2):
+            t = q + dx - 1
+            qq, dv = t % r, t // r
+            for dy in (0, 1, 2):
+                krow = dy * r * cin + qq * cin
+                ncol = (dv + 1) * r * cout + q * cout
+                m = m.at[
+                    krow : krow + cin, ncol : ncol + cout
+                ].add(w[dy, dx])
+    return m
+
+
+def _tail_q_kernel(
+    xq_ref,  # (B, 2*hp1 + 2*_HALO2 + pad, Wf1, 2*nf) ANY — up1 raw out
+    ku2, khr, klast,  # quad-form kernels, VMEM
+    bu2, bhr, blast,  # biases (1, 1, 8nf|4nf|64) fp32
+    out_ref,  # (1, 2*bh2, Wf1, 64) VMEM block — G4 rows x (q, o16)
+    xblk,  # scratch (2, bh2 + 2*_HALO2, Wf1, 2*nf)
+    sem,
+    *,
+    bh2: int,
+    h2: int,
+    w1: int,
+    wf1: int,
+    nf: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh2 + 2 * _HALO2
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        return pltpu.make_async_copy(
+            xq_ref.at[bb, pl.ds(ii * bh2, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+    x = xblk[m % 2]
+    dt = x.dtype
+    c0 = si * bh2 - 1  # G2 frame row of y2q row 0
+
+    cols = lax.broadcasted_iota(jnp.int32, (1, wf1, 1), 1)
+    col_ok = (cols >= _PADL) & (cols < _PADL + w1)
+
+    def post_u2(q, r0):
+        rows = lax.broadcasted_iota(jnp.int32, (q.shape[0], 1, 1), 0)
+        ok = ((rows + c0 + r0 >= 0) & (rows + c0 + r0 < h2)) & col_ok
+        q = jax.nn.leaky_relu(q + bu2[0], 0.2)
+        return jnp.where(ok, q, 0.0).astype(dt)
+
+    # upconv2 on the (b, o)-packed 2x grid: lanes (b, a', b', o)
+    y2 = _conv_chunked(x, ku2[:], (-1, 0, 1), post_u2, rc)
+
+    # interleave a' into rows: per b-half, a' slices (2*nf = 128-lane
+    # aligned at production nf=64)
+    rows_n, wfn, _ = y2.shape
+    L = nf
+    a0 = jnp.concatenate(
+        [y2[:, :, 0 : 2 * L], y2[:, :, 4 * L : 6 * L]], axis=2
+    )
+    a1 = jnp.concatenate(
+        [y2[:, :, 2 * L : 4 * L], y2[:, :, 6 * L : 8 * L]], axis=2
+    )
+    f = jnp.stack([a0, a1], axis=1).reshape(2 * rows_n, wfn, 4 * L)
+
+    def post_hr(q, r0):
+        rows = lax.broadcasted_iota(jnp.int32, (q.shape[0], 1, 1), 0)
+        rf = rows + 2 * c0 + 1 + r0
+        ok = ((rf >= 0) & (rf < 2 * h2)) & col_ok
+        q = jax.nn.leaky_relu(q + bhr[0], 0.2)
+        return jnp.where(ok, q, 0.0).astype(dt)
+
+    hr = _conv_chunked(f, khr[:], (-1, 0, 1), post_hr, rc)
+
+    def post_last(q, r0):
+        return (q + blast[0]).astype(dt)
+
+    rgb = _conv_chunked(hr, klast[:], (-1, 0, 1), post_last, rc)
+    out_ref[0] = rgb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h2", "w1", "block_h", "interpret", "row_chunk"),
+)
+def tail_fused_q(
+    xq: jax.Array,
+    w_up2: jax.Array,
+    b_up2: jax.Array,
+    w_hr: jax.Array,
+    b_hr: jax.Array,
+    w_last: jax.Array,
+    b_last: jax.Array,
+    *,
+    h2: int,
+    w1: int,
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Quad tail on up1_fused's raw output.
+
+    xq: (B, 2*hp1, Wf1, 128) — up1_fused's padded-form output (lanes are
+    (b, o) column pairs; 2*hp1 >= h2 rows of the 2x grid, frame columns
+    at [_PADL, _PADL + w1)). h2 = 2*H1, w1 = W1 (coarse frame width).
+    Returns (B, 4*H1, 4*W1, 3) RGB.
+    """
+    b, hq, wf1, _ = xq.shape
+    nf = w_up2.shape[2]
+    # the live fp32 'p' chunk is (rc, wf1, 3*512) for the up2 stage —
+    # the same bytes-per-rc as the plain tail at double width, so the
+    # same rc=2 ceiling applies at frame widths
+    bh2 = block_h or (16 if wf1 <= 1100 else 8)
+    rc = max(2, min(row_chunk, (row_chunk * 512) // wf1))
+    hp2 = h2 + (bh2 - h2 % bh2) % bh2
+    nstripes = hp2 // bh2
+    # rows-only halo pad — the ONLY XLA op between up1_fused and this
+    # kernel (requires xq's non-frame rows/cols to be exact zeros:
+    # up1_fused(masked=True))
+    if hq < hp2:
+        xq = jnp.pad(xq, ((0, 0), (0, hp2 - hq), (0, 0), (0, 0)))
+    xp = jnp.pad(
+        xq[:, :hp2], ((0, 0), (_HALO2, _HALO2), (0, 0), (0, 0))
+    )
+
+    from video_restore_tpu.ops.conv import up_phase_kernel_pm
+
+    ku2 = wsd_kernel_r(
+        up_phase_kernel_pm(w_up2), r=2, cin_block=nf
+    ).astype(xq.dtype)  # (384, 1536)
+    khr = wsd_kernel_r(w_hr, r=4).astype(xq.dtype)  # (768, 768)
+    wl16 = jnp.pad(w_last, ((0, 0), (0, 0), (0, 0), (0, 13)))
+    klast = wsd_kernel_r(wl16, r=4).astype(xq.dtype)  # (768, 192)
+    bu2 = jnp.tile(b_up2, 8).reshape(1, 1, -1).astype(jnp.float32)
+    bhr = jnp.tile(b_hr, 4).reshape(1, 1, -1).astype(jnp.float32)
+    bl16 = jnp.pad(b_last, (0, 13))
+    blast = jnp.tile(bl16, 4).reshape(1, 1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _tail_q_kernel,
+        bh2=bh2, h2=h2, w1=w1, wf1=wf1, nf=nf, nstripes=nstripes,
+        nb=b, rc=rc,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, 2 * bh2, wf1, 64), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * hp2, wf1, 64), xq.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh2 + 2 * _HALO2, wf1, 2 * nf), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, ku2, khr, klast, bu2, bhr, blast)
+    # (B, 2*hp2, Wf1, (q, o16)) -> (B, 2*hp2, 4*Wf1, 16): adjacent lane
+    # blocks ARE adjacent fine columns (free reshape), then crop
+    out = out.reshape(b, 2 * hp2, 4 * wf1, 16)
+    return out[:, : 2 * h2, 4 * _PADL : 4 * _PADL + 4 * w1, :3]
