@@ -214,38 +214,12 @@ def _tail_kernel(
     out_ref[0] = rgb[:, _PADL : _PADL + w2, :]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_h", "interpret", "row_chunk")
-)
-def tail_fused(
-    xh: jax.Array,
-    w_up2: jax.Array,
-    b_up2: jax.Array,
-    w_hr: jax.Array,
-    b_hr: jax.Array,
-    w_last: jax.Array,
-    b_last: jax.Array,
-    *,
-    block_h: int | None = None,
-    row_chunk: int = 8,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused tail: xh (B, H2, W2, nf) — the 2x grid after
-    lrelu(upconv1) — -> (B, 2*H2, 2*W2, 3) RGB.
-
-    Equivalent to::
-
-        f = leaky_relu(upconv2x(xh, w_up2, b_up2))
-        f = leaky_relu(conv2d(f, w_hr, b_hr))
-        return conv2d(f, w_last, b_last)
-    """
-    from video_restore_tpu.ops.conv import up_phase_kernel_pm
-    from video_restore_tpu.ops.pallas_stripe import pack_prefix_weights
-
-    b, h2, w2, nf = xh.shape
-    # measured on v5e at wf2=1024 (flagship tile): bh2 8/16/32 ->
-    # 83/43/41 ms per 4-tile call; VMEM scales ~linearly with bh2*wf2,
-    # anchor: bh2=32 at wf2=1024 compiles (~130MB peak)
+def tail_geom(
+    h2: int, w2: int, nf: int,
+    block_h: int | None = None, row_chunk: int = 8,
+):
+    """Shared tail geometry: (bh2, wf2, rc, hp2, cpad). Callers building
+    a pre-padded input (tail_fused(pre_padded=True)) MUST use this."""
     import os as _os
 
     bh_env = _os.environ.get("VRT_TAIL_BH")
@@ -261,33 +235,88 @@ def tail_fused(
         bh2 = 8
     wf2 = _PADL + w2 + _PADL
     wf2 += (8 - wf2 % 8) % 8
-    # the live fp32 accumulator chunk is (rc, wf2, 768)x4B; rc=8 was
-    # anchored at tile widths (wf2~1024, ~25MB) — at full-frame widths
-    # scale rc down to keep that footprint, else the kernel VMEM-OOMs
-    # (seen at wf2=3856: 95MB scoped alloc). VRT_TAIL_RC overrides for
-    # tuning.
-    import os
-
-    rc_env = os.environ.get("VRT_TAIL_RC")
+    rc_env = _os.environ.get("VRT_TAIL_RC")
     if rc_env:
-        row_chunk = int(rc_env)
+        rc = int(rc_env)
     else:
-        row_chunk = max(2, min(row_chunk, (row_chunk * 1024) // wf2))
-    # lane cpad to 128: Mosaic requires HBM DMA operands' minor dim
-    # aligned to the 128-lane tile ("Slice shape along dimension 3 must
-    # be aligned to tiling (128)"); the VMEM-side :nf slice is fine
+        rc = max(2, min(row_chunk, (row_chunk * 1024) // wf2))
     cpad = (128 - nf % 128) % 128
     hp2 = h2 + (bh2 - h2 % bh2) % bh2
+    return bh2, wf2, rc, hp2, cpad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_h", "interpret", "row_chunk", "pre_padded", "h2", "w2",
+    ),
+)
+def tail_fused(
+    xh: jax.Array,
+    w_up2: jax.Array,
+    b_up2: jax.Array,
+    w_hr: jax.Array,
+    b_hr: jax.Array,
+    w_last: jax.Array,
+    b_last: jax.Array,
+    *,
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    pre_padded: bool = False,
+    h2: int | None = None,
+    w2: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused tail: xh (B, H2, W2, nf) — the 2x grid after
+    lrelu(upconv1) — -> (B, 2*H2, 2*W2, 3) RGB.
+
+    Equivalent to::
+
+        f = leaky_relu(upconv2x(xh, w_up2, b_up2))
+        f = leaky_relu(conv2d(f, w_hr, b_hr))
+        return conv2d(f, w_last, b_last)
+    """
+    from video_restore_tpu.ops.conv import up_phase_kernel_pm
+    from video_restore_tpu.ops.pallas_stripe import pack_prefix_weights
+
+    # measured on v5e at wf2=1024 (flagship tile): bh2 8/16/32 ->
+    # 83/43/41 ms per 4-tile call; VMEM scales ~linearly with bh2*wf2,
+    # anchor: bh2=32 at wf2=1024 compiles (~130MB peak). The live fp32
+    # chunk is (rc, wf2, 768)x4B — at full-frame widths rc scales down
+    # else the kernel VMEM-OOMs (95MB scoped alloc seen at rc=8). Lane
+    # cpad to 128: Mosaic requires HBM DMA operands' minor dims aligned
+    # to the 128-lane tile; the VMEM-side :nf slice is fine.
+    if pre_padded:
+        # xh is already (B, hp2 + 2*_HALO2, wf2, 128) built against
+        # tail_geom (one fused crop+pad from up1_fused's masked output)
+        b = xh.shape[0]
+        nf = w_up2.shape[2]
+        bh2, wf2, rc, hp2, cpad = tail_geom(
+            h2, w2, nf, block_h, row_chunk
+        )
+        if xh.shape[1:] != (hp2 + 2 * _HALO2, wf2, nf + cpad):
+            raise ValueError(
+                f"pre-padded tail input {xh.shape} does not match "
+                f"geometry {(b, hp2 + 2 * _HALO2, wf2, nf + cpad)}"
+            )
+        xp = xh
+        row_chunk = rc
+    else:
+        b, h2, w2, nf = xh.shape
+        bh2, wf2, rc, hp2, cpad = tail_geom(
+            h2, w2, nf, block_h, row_chunk
+        )
+        row_chunk = rc
+        xp = jnp.pad(
+            xh,
+            (
+                (0, 0),
+                (_HALO2, _HALO2 + hp2 - h2),
+                (_PADL, wf2 - w2 - _PADL),
+                (0, cpad),
+            ),
+        )
     nstripes = hp2 // bh2
-    xp = jnp.pad(
-        xh,
-        (
-            (0, 0),
-            (_HALO2, _HALO2 + hp2 - h2),
-            (_PADL, wf2 - w2 - _PADL),
-            (0, cpad),
-        ),
-    )
 
     ku2 = pack_prefix_weights(
         [fold_dy(up_phase_kernel_pm(w_up2))], pack=(0,)
