@@ -306,12 +306,27 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
     return acc.astype(out_dt)
 
 
-def _rdb_stage(x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok):
+def _rdb_stage(
+    x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok, nomask=None
+):
     """One full RDB on a window x (e, Wf, nf): 5 chained prefix-form convs
     + the 0.2 residual, masked to the frame (exact SAME padding; zeros
     outside). Window row 0 sits at frame row ``top`` (may be negative in a
     fused chain). Returns (e-10, Wf, nf) in ``dt``; output row r is frame
-    row top + 5 + r."""
+    row top + 5 + r.
+
+    nomask=True skips the frame masks (correct ONLY when the window
+    never touches a frame edge). None reads the VRT_NOMASK perf probe —
+    incorrect at edges, used to measure the masks at ~2.2% of flagship
+    frame time. Branching edge/interior per program to skip them for
+    interior blocks VMEM-OOMed: Mosaic allocates both pl.when branch
+    bodies' scoped buffers concurrently (166MB > 128MB at production
+    geometry) — a documented dead-end.
+    """
+    if nomask is None:
+        import os
+
+        nomask = os.environ.get("VRT_NOMASK") == "1"
     w0, w1, w2, w3, w4 = w5
     b1, b2, b3, b4, b5_ = b5
     g = gc
@@ -322,6 +337,8 @@ def _rdb_stage(x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok):
         e = acc.shape[0]
         lo = nf + (4 - k) * g
         ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
+        if nomask:
+            return ck.astype(dt)
         rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
         rowf = rows + (top + k)
         ok = (rowf >= 0) & (rowf < h) & col_ok
@@ -350,6 +367,8 @@ def _rdb_stage(x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok):
     )
     e = x.shape[0]
     center = x[_HALO : e - _HALO, :, :].astype(jnp.float32)
+    if nomask:
+        return (center + 0.2 * c5).astype(dt)
     rows = lax.broadcasted_iota(jnp.int32, (e - 2 * _HALO, 1, 1), 0)
     rowf = rows + (top + _HALO)
     ok = (rowf >= 0) & (rowf < h) & col_ok
@@ -1117,6 +1136,11 @@ def _rdb_stripe2d_kernel(
     def _():
         dma(0, 0).start()
 
+    # NOTE (measured dead-end): branching edge vs interior programs to
+    # skip the frame masks for interior blocks (masks = ~2.2% of frame
+    # time, VRT_NOMASK probe) VMEM-OOMs — Mosaic allocates both pl.when
+    # branch bodies' scoped buffers concurrently (166MB > 128MB), so the
+    # dual-body kernel cannot fit at production geometry.
     def compute():
         @pl.when(m + 1 < nb * ns * nwb)
         def _():
