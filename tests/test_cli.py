@@ -92,3 +92,17 @@ def test_invalid_config_rejected():
         RestoreConfig(tile_overlap=512, tile_size=512)
     with pytest.raises(ValueError):
         RestoreConfig(preset="warp9")
+
+
+def test_gpus_id_list_semantics():
+    """--gpus carries the reference's GPU-id semantics: N ids = N mesh
+    devices, including the single-id form (--gpus 0 = ONE device, not
+    the --devices 0 all-devices count)."""
+    from video_restore_tpu.cli import _resolve_devices
+
+    assert _resolve_devices(0) == 0  # --devices count form
+    assert _resolve_devices(4) == 4
+    assert _resolve_devices([0]) == 1  # reference --gpus 0
+    assert _resolve_devices([0, 1]) == 2  # reference --gpus 0 1
+    assert _resolve_devices([3]) == 1  # id value is irrelevant
+    assert _resolve_devices([]) == 0

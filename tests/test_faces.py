@@ -187,3 +187,47 @@ def test_restore_faces_learned_aligned_path():
     )
     diff = np.abs(out2.astype(int) - frame.astype(int))
     assert diff.max() <= 2  # bilinear warp round-trip tolerance
+
+
+def test_restore_faces_learned_mixed_pairing():
+    """Interleaved fallback + aligned faces: each face gets ITS OWN
+    restored crop (regression: crops were batched in detection order but
+    split positionally, mispairing the two kinds)."""
+    import numpy as np
+
+    from video_restore_tpu.ops.faces import (
+        FFHQ_TEMPLATE_512,
+        FaceBox,
+        restore_faces_learned,
+    )
+
+    frame = np.full((512, 1024, 3), 100, np.uint8)
+    # face 0: NO landmarks (fallback box crop), left half
+    box0 = FaceBox(40, 100, 40, 40)
+    # face 1: landmarks (aligned path), right half
+    lm_hr = (FFHQ_TEMPLATE_512 - 256.0) * 0.5 + np.array([768.0, 256.0])
+    box1 = FaceBox(
+        330, 90, 76, 76,
+        landmarks=tuple((x / 2.0, y / 2.0) for x, y in lm_hr),
+    )
+
+    # restorer paints each crop a distinct color by batch position;
+    # with the old positional split, face 1 (aligned, batch slot 0)
+    # and face 0 (fallback, slot 1) would swap colors
+    def runner(crops):
+        out = np.zeros_like(crops)
+        out[0, :, :, 0] = 1.0  # slot 0 (the aligned face) -> red
+        if len(crops) > 1:
+            out[1, :, :, 2] = 1.0  # slot 1 (the fallback face) -> blue
+        return out
+
+    out = restore_faces_learned(
+        frame, [box0, box1], scale=2, runner=runner, strength=1.0
+    )
+    # fallback face region (left): blue dominant
+    c0 = out[240, 120].astype(int)
+    assert c0[2] > 150 and c0[0] < 100, c0
+    # aligned face region (right): red dominant
+    nose = lm_hr[2].astype(int)
+    c1 = out[nose[1], nose[0]].astype(int)
+    assert c1[0] > 150 and c1[2] < 100, c1

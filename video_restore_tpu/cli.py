@@ -147,23 +147,23 @@ def _resolve_devices(devices) -> int:
     """Normalize ``--devices/--gpus`` to a device count.
 
     Accepts the reference's id-list form ``--gpus 0 1``
-    (video_upscaler.py:656-657): two or more ids mean "use that many mesh
-    devices" — the ids themselves are meaningless on a TPU mesh, where
-    device placement belongs to the sharding, so we warn and use len().
-    A single value keeps this CLI's documented count semantics
-    (0 = all devices).
+    (video_upscaler.py:656-657) with the reference's semantics: the list
+    names GPU ids, so N ids mean "use N mesh devices" — including the
+    single-id form (``--gpus 0`` = one device, exactly as the reference
+    reads it; it is NOT this CLI's ``--devices 0`` = all-devices count).
+    The ids themselves are meaningless on a TPU mesh, where placement
+    belongs to the sharding, so we warn and use len().
     """
     if isinstance(devices, int):
         return devices
     if not devices:  # `--gpus` with no operands
         return 0
-    if len(devices) == 1:
-        return devices[0]
     import logging
 
     logging.getLogger("video_restore_tpu").warning(
-        "--gpus %s: interpreting the reference's GPU-id list as a device "
-        "COUNT (%d); physical placement is chosen by the TPU mesh",
+        "--gpus %s: interpreting the reference's GPU-id list as %d mesh "
+        "device(s); physical placement is chosen by the TPU mesh "
+        "(use --devices N for count semantics)",
         " ".join(map(str, devices)), len(devices),
     )
     return len(devices)

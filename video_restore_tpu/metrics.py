@@ -111,8 +111,11 @@ def frame_gmsd(a: np.ndarray, b: np.ndarray) -> float:
         return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
 
     def pre(x):
-        # 2x2 average pool with stride 2 (the paper's downsampling)
-        x = uniform_filter(x, size=2, mode="nearest")
+        # 2x2 average pool with stride 2 (the paper's downsampling);
+        # origin=-1 anchors the window at (i, i+1) so the strided pick
+        # pools (x0,x1),(x2,x3) like reference implementations — the
+        # centered default pooled (x-1,x0),(x1,x2), a half-pixel shift
+        x = uniform_filter(x, size=2, mode="nearest", origin=-1)
         return x[::2, ::2]
 
     x, y = pre(lum(a)), pre(lum(b))

@@ -301,7 +301,12 @@ def restore_faces_learned(
     hh, ww = hr_frame.shape[:2]
     aligned = []  # (M 2x3 HR->template) per face
     boxes = []  # (x0, y0, side) loose-square fallback
-    crops = []
+    # two crop lists: aligned and fallback faces can interleave in
+    # detection order, but the batch is split positionally below — a
+    # single list mispaired crops with warp matrices/boxes when both
+    # kinds were present in one frame
+    crops_aligned = []
+    crops_boxes = []
     for box in faces_lr:
         b = box.scaled(scale)
         m = (
@@ -316,7 +321,7 @@ def restore_faces_learned(
                 borderValue=(135, 133, 132),
             )
             aligned.append(m)
-            crops.append(crop.astype(np.float32) / 255.0)
+            crops_aligned.append(crop.astype(np.float32) / 255.0)
             continue
         # square crop with margin, GFPGAN-style loose alignment
         side = int(max(b.w, b.h) * 1.6)
@@ -326,12 +331,13 @@ def restore_faces_learned(
         side = min(side, ww - x0, hh - y0)
         if side >= 32:
             boxes.append((x0, y0, side))
-            crops.append(
+            crops_boxes.append(
                 cv2.resize(
                     hr_frame[y0 : y0 + side, x0 : x0 + side],
                     (512, 512), interpolation=cv2.INTER_LINEAR,
                 ).astype(np.float32) / 255.0
             )
+    crops = crops_aligned + crops_boxes
     if not crops:
         return hr_frame
 

@@ -280,8 +280,20 @@ def unsharp_mask(
     """Unsharp-mask detail enhancement (reference README.md:12, absent from
     its code). out = x + amount * highpass, with an optional soft threshold
     to avoid amplifying noise."""
+    import os
+
     xf = x.astype(jnp.float32)
-    hp = xf - gaussian_blur(xf, sigma, radius).astype(jnp.float32)
+    # VRT_POST_BF16=1: run the blur (the HBM-heaviest post op at 8K) in
+    # bf16. The highpass difference and the final add stay fp32; the
+    # blur's ~0.4% relative error enters scaled by `amount` (<=1), well
+    # under half an 8-bit LSB on the final frame.
+    if os.environ.get("VRT_POST_BF16") == "1":
+        blur = gaussian_blur(
+            xf.astype(jnp.bfloat16), sigma, radius
+        ).astype(jnp.float32)
+    else:
+        blur = gaussian_blur(xf, sigma, radius).astype(jnp.float32)
+    hp = xf - blur
     if threshold > 0:
         mask = jnp.abs(hp) >= threshold
         hp = jnp.where(mask, hp, 0.0)

@@ -224,6 +224,7 @@ def auto_full_frame(
     scale: int,
     hbm_bytes: int | None = None,
     feat_ch: int = 64,
+    frames: int = 1,
 ) -> bool:
     """Decide whether a full-frame (tile=0) pass fits device HBM.
 
@@ -248,7 +249,9 @@ def auto_full_frame(
     body = 5 * hw * feat_ch * 2
     up1 = 4 * hw * feat_ch * 2
     out_rgb = 3 * (scale * scale * hw) * 3 * 4
-    est = body + up1 + out_rgb
+    # frames = frames processed per device per model call
+    # (--frames-per-batch); the activations scale with it
+    est = (body + up1 + out_rgb) * max(frames, 1)
     return est <= 0.5 * hbm_bytes
 
 

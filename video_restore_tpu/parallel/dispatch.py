@@ -261,6 +261,9 @@ class ShardedUpscaler:
         )
         self.yuv420_out = yuv420_out
         self.shard_mode = getattr(cfg, "shard_mode", "frames")
+        self._cfg_frames_per_batch = max(
+            getattr(cfg, "frames_per_batch", 0), 1
+        )
         self.compute_dtype = (
             jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
         )
@@ -357,7 +360,10 @@ class ShardedUpscaler:
         buckets warming concurrently — XLA compilation releases the GIL,
         so batch mode warms all distinct resolutions in parallel threads
         (pipeline.runner.VideoRestorer._warmup_buckets)."""
-        b = self._batch
+        # match the pipeline's real batch size (frames_per_batch frames
+        # per device per call): a different B is a different jit cache
+        # key, and a mismatched prewarm compiles a never-used executable
+        b = self._batch * self._cfg_frames_per_batch
         x = np.zeros((b, self.grid.height, self.grid.width, 3), np.uint8)
         jax.block_until_ready(self.process_batch(x))
         self.reset_temporal()

@@ -181,6 +181,7 @@ class VideoRestorer:
                 config.outscale = float(model.scale)
             config.scale = model.scale
         self._upscalers = {}  # (H, W) resolution bucket -> ShardedUpscaler
+        self._probe_cache = {}  # str(path) -> VideoInfo (batch prewarm)
         n = self.mesh.devices.size
         log.info(
             "model=%s scale=%dx devices=%d tile=%d overlap=%d precision=%s "
@@ -221,7 +222,8 @@ class VideoRestorer:
                         isinstance(self.model.spec, RRDBNetSpec)
                         and default_use_stripe()
                         and auto_full_frame(
-                            height, width, self.model.scale
+                            height, width, self.model.scale,
+                            frames=max(cfg.frames_per_batch, 1),
                         )
                     ):
                         tile = 0
@@ -327,7 +329,11 @@ class VideoRestorer:
             reader = open_reader(input_path)
             info = reader.info
         else:
-            info = probe(input_path)
+            # batch mode probes during bucket prewarm; reuse that result
+            # instead of a second ffprobe subprocess per video
+            info = self._probe_cache.pop(str(input_path), None)
+            if info is None:
+                info = probe(input_path)
         scale = self.model.scale
         out_w = int(info.width * cfg.outscale)
         out_h = int(info.height * cfg.outscale)
@@ -652,6 +658,7 @@ class VideoRestorer:
         for v, out in pairs:
             try:
                 info = probe(v)
+                self._probe_cache[str(v)] = info
             except Exception:
                 continue  # unprobeable input fails in the main loop too
             out_w = int(info.width * cfg.outscale)
