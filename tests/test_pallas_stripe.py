@@ -439,6 +439,40 @@ def test_full_model_raw_up1_chain(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_full_model_x2_kernel_tail(rng, monkeypatch):
+    """Single-upsample x2 nets (BSRGANx2-style, no conv_up2): the tail
+    assembled from up1_fused + conv3x3_fused (interpret-mocked) == naive."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_tail as pt
+    from video_restore_tpu.models.rrdbnet import _apply, apply_rrdbnet
+
+    monkeypatch.setenv("VRT_TAIL_KERNEL", "1")
+    spec = RRDBNetSpec(
+        num_feat=16, num_block=1, num_grow_ch=8, scale=2, unshuffle=False
+    )
+    params = init_rrdbnet(jax.random.PRNGKey(7), spec)
+    assert "conv_up2" not in params
+    x = jnp.asarray(rng.random((1, 20, 16, 3)).astype(np.float32))
+    ref = np.asarray(apply_rrdbnet(params, x, spec, naive=True))
+
+    origs = {n: getattr(pt, n) for n in ("up1_fused", "conv3x3_fused")}
+
+    def wrap(name):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            return origs[name](*a, **kw)
+
+        return f
+
+    _apply.clear_cache()
+    with mock.patch.object(
+        pt, "up1_fused", wrap("up1_fused")
+    ), mock.patch.object(pt, "conv3x3_fused", wrap("conv3x3_fused")):
+        got = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_conv3x3_fused_kernel_parity(rng):
     """Generic fused 3x3 stripe conv (conv_first / conv_body+residual
     glue kernel) == conv2d, interpret mode: cin=3 stem shape, residual

@@ -623,6 +623,32 @@ def _apply(
     elif (
         not differentiable
         and default_use_tail_kernel()
+        and "conv_up2" not in params
+        and os.environ.get("VRT_X2_TAIL", "1") != "0"
+    ):
+        # x2-model tail (single upsample stage, e.g. RealESRGAN_x2plus /
+        # BSRGANx2): assembled entirely from the existing kernel family —
+        # up1_fused IS lrelu(upconv2x), then the two plain convs run as
+        # conv3x3_fused (XLA's conv_last at cout=3 was the 4 TF/s
+        # lane-occupancy disaster at 4K)
+        from video_restore_tpu.ops.pallas_tail import (
+            conv3x3_fused,
+            up1_fused,
+        )
+
+        feat = up1_fused(
+            feat, params["conv_up1"]["w"], params["conv_up1"]["b"]
+        )
+        feat = conv3x3_fused(
+            feat, params["conv_hr"]["w"], params["conv_hr"]["b"],
+            act="lrelu",
+        )
+        return conv3x3_fused(
+            feat, params["conv_last"]["w"], params["conv_last"]["b"]
+        )
+    elif (
+        not differentiable
+        and default_use_tail_kernel()
         and "conv_up2" in params
     ):
         from video_restore_tpu.ops.pallas_tail import tail_fused, up1_fused
