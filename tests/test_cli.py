@@ -95,14 +95,23 @@ def test_invalid_config_rejected():
 
 
 def test_gpus_id_list_semantics():
-    """--gpus carries the reference's GPU-id semantics: N ids = N mesh
-    devices, including the single-id form (--gpus 0 = ONE device, not
-    the --devices 0 all-devices count)."""
-    from video_restore_tpu.cli import _resolve_devices
+    """--devices keeps count semantics; --gpus carries the reference's
+    GPU-id semantics (N ids = N mesh devices, including --gpus 0 = ONE
+    device). Parsed through the real argparse surface — a shared dest
+    once made `--devices 4` mean one device."""
+    from video_restore_tpu.cli import _resolve_devices, build_parser
 
-    assert _resolve_devices(0) == 0  # --devices count form
-    assert _resolve_devices(4) == 4
-    assert _resolve_devices([0]) == 1  # reference --gpus 0
-    assert _resolve_devices([0, 1]) == 2  # reference --gpus 0 1
-    assert _resolve_devices([3]) == 1  # id value is irrelevant
-    assert _resolve_devices([]) == 0
+    p = build_parser()
+
+    def n(argv):
+        a = p.parse_args(["i", "o"] + argv)
+        return _resolve_devices(
+            a.gpus if a.gpus is not None else a.devices
+        )
+
+    assert n([]) == 0
+    assert n(["--devices", "4"]) == 4
+    assert n(["--devices", "0"]) == 0  # 0 = all devices
+    assert n(["--gpus", "0"]) == 1  # reference single-id form
+    assert n(["--gpus", "0", "1"]) == 2
+    assert n(["--gpus", "3"]) == 1  # id value is irrelevant

@@ -48,13 +48,18 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     p.add_argument("output", help="output video file (or directory with --batch)")
     # reference flags (video_upscaler.py:652-682)
     p.add_argument("--model", default="RealESRGAN_x4plus", choices=MODEL_NAMES)
+    # separate options: --devices keeps this CLI's COUNT semantics while
+    # --gpus carries the reference's GPU-ID-list semantics verbatim
+    # (video_upscaler.py:656-657) — a shared argparse dest cannot tell
+    # `--devices 4` (4 devices) from `--gpus 4` (one device, id 4)
     p.add_argument(
-        "--devices", "--gpus", dest="devices", type=int, default=0,
-        nargs="*",
-        help="number of TPU devices to shard frames across (0 = all). "
-             "Also accepts the reference's id-list form `--gpus 0 1` "
-             "(video_upscaler.py:656-657): the ids select how MANY mesh "
-             "devices to use; which physical chips is the mesh's choice",
+        "--devices", dest="devices", type=int, default=0,
+        help="number of TPU devices to shard frames across (0 = all)",
+    )
+    p.add_argument(
+        "--gpus", dest="gpus", type=int, default=None, nargs="*",
+        help="reference-compatible GPU id list (`--gpus 0 1`): N ids = "
+             "N mesh devices; which physical chips is the mesh's choice",
     )
     p.add_argument("--quality", default="balanced",
                    choices=["fast", "balanced", "max"])
@@ -209,7 +214,10 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         crf=crf,
         preset=preset,
         audio_copy=not args.no_audio,
-        num_devices=_resolve_devices(args.devices),
+        num_devices=_resolve_devices(
+            args.gpus if getattr(args, "gpus", None) is not None
+            else args.devices
+        ),
         shard_mode=args.shard_mode,
         frames_per_batch=args.frames_per_batch,
         batch_warmup=args.batch_warmup,

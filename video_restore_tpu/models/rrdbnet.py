@@ -679,14 +679,13 @@ def _apply(
                 )
             if os.environ.get("VRT_UP1_RAW", "1") != "0":
                 # single-glue-op chain: up1 emits its raw masked padded
-                # form and ONE fused crop+pad (lax.pad with negative
-                # lows/highs) builds the tail's pre-padded input — vs
-                # ~20 ms/frame of copy+reshape+slice+copy+pad traced in
-                # the default two-kernel chain at full frame
-                from video_restore_tpu.ops.pallas_stripe import _PADL
+                # form and ONE fused crop+pad builds the tail's
+                # pre-padded input — vs ~20 ms/frame of relayout glue
+                # traced in the two-kernel chain at full frame. The
+                # layout invariant lives in pallas_tail next to the
+                # kernels.
                 from video_restore_tpu.ops.pallas_tail import (
-                    _HALO2,
-                    tail_geom,
+                    up1_raw_to_tail_input,
                 )
 
                 fh2, fw2 = feat.shape[1], feat.shape[2]
@@ -695,24 +694,9 @@ def _apply(
                     params["conv_up1"]["w"], params["conv_up1"]["b"],
                     masked=True,
                 )
-                bq, hq, wf1u, lanes2 = xq.shape
-                nf_t = lanes2 // 2
                 h2t, w2t = 2 * fh2, 2 * fw2
-                fine = xq.reshape(bq, hq, 2 * wf1u, nf_t)
-                _, wf2, _, hp2, cpad2 = tail_geom(h2t, w2t, nf_t)
-                cols_in = 2 * wf1u
-                xp2 = lax.pad(
-                    fine,
-                    jnp.zeros((), fine.dtype),
-                    (
-                        (0, 0, 0),
-                        (_HALO2, hp2 + _HALO2 - hq, 0),
-                        (-_PADL, wf2 - cols_in + _PADL, 0),
-                        (0, cpad2, 0),
-                    ),
-                )
                 return tail_fused(
-                    xp2,
+                    up1_raw_to_tail_input(xq, h2t, w2t),
                     params["conv_up2"]["w"], params["conv_up2"]["b"],
                     params["conv_hr"]["w"], params["conv_hr"]["b"],
                     params["conv_last"]["w"], params["conv_last"]["b"],

@@ -153,7 +153,11 @@ def _apply(
             return prelu(conv2d(h, bp["w"], bp["b"]), bp["alpha"]), None
 
         feat, _ = lax.scan(step, feat, params["body"])
-    if stripe and os.environ.get("VRT_SRVGG_UP", "1") != "0":
+    if (
+        stripe
+        and scale in (2, 4)
+        and os.environ.get("VRT_SRVGG_UP", "1") != "0"
+    ):
         # fused upsampler kernel: the XLA pixel_shuffle transposes +
         # 12 TF/s N=48 conv_out cost ~27 ms/frame at 1080p (BENCH_NOTES
         # round 3); the phase-lane form makes both free

@@ -307,11 +307,18 @@ def srvgg_up_fused(
     feat (B, H, W, nf), x_in (B, H, W, cout) -> (B, r*H, r*W, cout).
     """
     b, h, w, nf = feat.shape
+    if 64 % r:
+        raise ValueError(
+            f"srvgg_up_fused supports r dividing 64 (got r={r}); "
+            "use the XLA pixel_shuffle path for other scales"
+        )
     cout = w_out.shape[-1] // (r * r)
     opad = 64 // r
-    bh = block_h or 16
     wf = _PADL + w + _PADL
     wf += (8 - wf % 8) % 8
+    # width-scaled stripe height: the same VMEM ladder as tail_geom —
+    # a fixed bh at full-frame 4K widths would exceed the 127MB limit
+    bh = block_h or (16 if wf <= 2100 else 8)
     rc = max(2, min(row_chunk, (row_chunk * 1024) // wf))
     hp = h + (bh - h % bh) % bh
     nstripes = hp // bh

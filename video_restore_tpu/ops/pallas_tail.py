@@ -72,27 +72,14 @@ def fold_dy(w: jax.Array) -> jax.Array:
 
 def wsd_kernel(w: np.ndarray | jax.Array) -> jax.Array:
     """(3, 3, cin, cout) fine conv kernel -> W-sd packed (3*2*cin,
-    3*(2*cout)) matrix.
+    3*(2*cout)) matrix: :func:`wsd_kernel_r` at r=2.
 
     K index = dy*(2*cin) + b''*cin + o''; N index = (dv+1)*(2*cout)
     + b'*cout + o'. Derivation: fine output col 2j+b' tap dx reads fine
     col 2j + b' + dx - 1 = 2(j+dv) + b'' with b'' = (b'+dx-1) mod 2,
     dv = floor((b'+dx-1)/2).
     """
-    _, _, cin, cout = w.shape
-    w = w.astype(jnp.float32)
-    m = jnp.zeros((3 * 2 * cin, 3 * 2 * cout), jnp.float32)
-    for bp in (0, 1):
-        for dx in (0, 1, 2):
-            t = bp + dx - 1
-            bpp, dv = t % 2, t // 2  # python floor-div: -1 -> (1, -1)
-            for dy in (0, 1, 2):
-                krow = dy * 2 * cin + bpp * cin
-                ncol = (dv + 1) * 2 * cout + bp * cout
-                m = m.at[
-                    krow : krow + cin, ncol : ncol + cout
-                ].add(w[dy, dx])
-    return m
+    return wsd_kernel_r(jnp.asarray(w), 2)
 
 
 def _conv_chunked(a, w, taps, post, rc: int):
@@ -243,6 +230,35 @@ def tail_geom(
     cpad = (128 - nf % 128) % 128
     hp2 = h2 + (bh2 - h2 % bh2) % bh2
     return bh2, wf2, rc, hp2, cpad
+
+
+def up1_raw_to_tail_input(
+    xq: jax.Array, h2: int, w2: int
+) -> jax.Array:
+    """Build tail_fused's pre-padded input from up1_fused's masked RAW
+    output with ONE fused crop+pad (lax.pad with negative lows/highs).
+
+    Keeps the layout invariant (the free lane-pair -> fine-column
+    reshape, _PADL margins, _HALO2 rows, the 128-lane cpad) in this
+    module next to tail_geom; callers pass the result to
+    ``tail_fused(..., pre_padded=True, h2=h2, w2=w2)``. Requires xq's
+    non-frame rows/cols to be exact zeros (up1_fused(masked=True)).
+    """
+    bq, hq, wf1u, lanes2 = xq.shape
+    nf = lanes2 // 2
+    fine = xq.reshape(bq, hq, 2 * wf1u, nf)
+    _, wf2, _, hp2, cpad = tail_geom(h2, w2, nf)
+    cols_in = 2 * wf1u
+    return lax.pad(
+        fine,
+        jnp.zeros((), fine.dtype),
+        (
+            (0, 0, 0),
+            (_HALO2, hp2 + _HALO2 - hq, 0),
+            (-_PADL, wf2 - cols_in + _PADL, 0),
+            (0, cpad, 0),
+        ),
+    )
 
 
 @functools.partial(
@@ -721,7 +737,7 @@ def pack_prefix_weights_generic(w: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def wsd_kernel_r(w: jax.Array, r: int, cin_block: int = 64) -> jax.Array:
+def wsd_kernel_r(w: jax.Array, r: int) -> jax.Array:
     """(3, 3, cin, cout) fine conv kernel -> r-way column-packed
     (3*r*cin, 3*(r*cout)) matrix.
 
@@ -875,7 +891,7 @@ def tail_fused_q(
     from video_restore_tpu.ops.conv import up_phase_kernel_pm
 
     ku2 = wsd_kernel_r(
-        up_phase_kernel_pm(w_up2), r=2, cin_block=nf
+        up_phase_kernel_pm(w_up2), r=2
     ).astype(xq.dtype)  # (384, 1536)
     khr = wsd_kernel_r(w_hr, r=4).astype(xq.dtype)  # (768, 768)
     wl16 = jnp.pad(w_last, ((0, 0), (0, 0), (0, 0), (0, 13)))
