@@ -212,7 +212,9 @@ def upconv2x_phase(
     program it LOSES (0.820 -> 0.692 fps/chip): XLA's layout assignment
     still rewrites conv_hr/conv_last into their 5-D tiled layouts, so
     the pixel_shuffle transposes (~120ms/frame of copies) are pure
-    overhead. Kept as a measured alternative; production uses upconv2x.
+    overhead. Kept as a measured alternative; production now runs
+    upconv1 as the Pallas stripe kernel (ops/pallas_tail.up1_fused),
+    which gets the phase-form win without the shuffle transposes.
     """
     # bias replicated per phase (channel order o*4 + a*2 + b) so the
     # f32 bias-add happens before the dtype cast, same as upconv2x
