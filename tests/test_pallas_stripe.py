@@ -417,10 +417,6 @@ def test_full_model_raw_up1_chain(rng, monkeypatch):
 
     monkeypatch.setenv("VRT_TAIL_KERNEL", "1")
     monkeypatch.setenv("VRT_UP1_RAW", "1")
-    spec = RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=4)
-    params = init_rrdbnet(jax.random.PRNGKey(7), spec)
-    x = jnp.asarray(rng.random((1, 18, 22, 3)).astype(np.float32))
-    ref = np.asarray(apply_rrdbnet(params, x, spec, naive=True))
 
     origs = {n: getattr(pt, n) for n in ("up1_fused", "tail_fused")}
 
@@ -431,12 +427,27 @@ def test_full_model_raw_up1_chain(rng, monkeypatch):
 
         return f
 
-    _apply.clear_cache()
-    with mock.patch.object(
-        pt, "up1_fused", wrap("up1_fused")
-    ), mock.patch.object(pt, "tail_fused", wrap("tail_fused")):
-        got = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    specs = (
+        RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=4),
+        # x2plus-style: pixel-unshuffled stem, BOTH upconv stages — the
+        # config-1 production chain
+        RRDBNetSpec(num_feat=16, num_block=1, num_grow_ch=8, scale=2),
+    )
+    for spec in specs:
+        params = init_rrdbnet(jax.random.PRNGKey(7), spec)
+        assert "conv_up2" in params
+        x = jnp.asarray(rng.random((1, 18, 22, 3)).astype(np.float32))
+        ref = np.asarray(apply_rrdbnet(params, x, spec, naive=True))
+
+        _apply.clear_cache()
+        with mock.patch.object(
+            pt, "up1_fused", wrap("up1_fused")
+        ), mock.patch.object(pt, "tail_fused", wrap("tail_fused")):
+            got = np.asarray(
+                apply_rrdbnet(params, x, spec, use_pallas=False)
+            )
+        assert got.shape == (1, 18 * spec.scale, 22 * spec.scale, 3)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
 def test_full_model_x2_kernel_tail(rng, monkeypatch):
