@@ -91,6 +91,9 @@ def test_invalid_config_rejected():
     with pytest.raises(ValueError):
         RestoreConfig(tile_overlap=512, tile_size=512)
     with pytest.raises(ValueError):
+        # tile_size=0 ignores the overlap but still rejects negatives
+        RestoreConfig(tile_overlap=-1, tile_size=0)
+    with pytest.raises(ValueError):
         RestoreConfig(preset="warp9")
 
 
@@ -115,3 +118,19 @@ def test_gpus_id_list_semantics():
     assert n(["--gpus", "0"]) == 1  # reference single-id form
     assert n(["--gpus", "0", "1"]) == 2
     assert n(["--gpus", "3"]) == 1  # id value is irrelevant
+
+
+def test_gpus_overrides_devices_with_warning(caplog):
+    """Supplying both --devices and --gpus lets --gpus win but warns
+    instead of silently dropping --devices."""
+    import logging
+
+    from video_restore_tpu.cli import _pick_device_flag, _resolve_devices
+    from video_restore_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["i", "o", "--devices", "4", "--gpus", "0", "1"])
+    with caplog.at_level(logging.WARNING, logger="video_restore_tpu"):
+        picked = _pick_device_flag(a)
+    assert _resolve_devices(picked) == 2  # --gpus wins
+    assert any("--gpus wins" in r.message for r in caplog.records)

@@ -632,6 +632,46 @@ def test_rdb_stripe2d_chain(rng):
     assert np.all(op[..., nf:] == 0)
 
 
+def test_rdb_stripe2d_row_chunked(rng):
+    """Row-chunked accumulator form (round 4): the 5-conv chain runs in
+    rc-row chunks with 1 acc row + 2 growth rows carried per stage —
+    pure re-association of row ranges, so it must match both the
+    monolithic kernel and the XLA reference. Exercises multi-chunk
+    (n1=48, rc=16 -> 3 chunks), clipped first-chunk starts, the
+    remainder-absorbing last chunk (rc=20 -> chunks 20+28), and the res
+    epilogue."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        rdb_res_stripe2d_padded,
+        rdb_stripe2d_padded,
+        unpad_stripe2d_exit,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=0)
+    rdb3, ws3, bs3 = _one_rdb(seed=2)
+    b, h, w, nf = 1, 80, 41, 16
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ref = _rdb_apply(rdb3, _rdb_apply(rdb1, x)) * 0.2 + x
+
+    bh, bw = 40, 16  # n1 = bh+8 = 48 acc rows per stripe
+    for rc in (16, 20):
+        # fresh pad each round: the res kernel donates xp's buffer
+        xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+        kw = dict(
+            frame_h=h, frame_w=w, block_h=bh, block_w=bw,
+            row_chunk=rc, interpret=True,
+        )
+        o = rdb_stripe2d_padded(xp, ws1, bs1, **kw)
+        o = rdb_res_stripe2d_padded(o, xp, ws3, bs3, **kw)
+        out = unpad_stripe2d_exit(o, h, w, nf, block_h=bh, block_w=bw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        op = np.asarray(o)
+        assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+        assert np.all(op[:, :, w:] == 0)
+
+
 def test_rdb_stripe2d_packed_weights(rng):
     """2D form with the production N-packed contraction weights."""
     from video_restore_tpu.ops.pallas_stripe import (

@@ -48,6 +48,9 @@ def test_full_frame_auto_upgrade(monkeypatch):
     cfg = _cfg(model_name="RealESRGAN_x4plus", full_frame="auto")
     r = VideoRestorer(cfg, model=model)
     monkeypatch.setenv("VRT_STRIPE", "1")  # force the TPU gate on CPU
+    # CPU's memory_stats() reports no bytes_limit and auto_full_frame
+    # then conservatively keeps tiling — pin the HBM budget instead
+    monkeypatch.setenv("VRT_HBM_BYTES", str(16 << 30))
     import video_restore_tpu.pipeline.runner as rn
 
     # don't actually run the stripe kernels — just build the grid

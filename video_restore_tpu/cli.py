@@ -148,6 +148,24 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
     return p
 
 
+def _pick_device_flag(args):
+    """--gpus (reference id-list semantics) wins over --devices, but
+    supplying both is almost certainly a misconfiguration — warn instead
+    of silently dropping --devices."""
+    import logging
+
+    gpus = getattr(args, "gpus", None)
+    if gpus is None:
+        return args.devices
+    if args.devices:
+        logging.getLogger("video_restore_tpu").warning(
+            "both --devices %d and --gpus %s given: --gpus wins "
+            "(--devices ignored)",
+            args.devices, " ".join(map(str, gpus)),
+        )
+    return gpus
+
+
 def _resolve_devices(devices) -> int:
     """Normalize ``--devices/--gpus`` to a device count.
 
@@ -214,10 +232,7 @@ def config_from_args(args: argparse.Namespace) -> RestoreConfig:
         crf=crf,
         preset=preset,
         audio_copy=not args.no_audio,
-        num_devices=_resolve_devices(
-            args.gpus if getattr(args, "gpus", None) is not None
-            else args.devices
-        ),
+        num_devices=_resolve_devices(_pick_device_flag(args)),
         shard_mode=args.shard_mode,
         frames_per_batch=args.frames_per_batch,
         batch_warmup=args.batch_warmup,

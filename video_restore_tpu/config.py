@@ -163,6 +163,10 @@ class RestoreConfig:
         # overlap MACs entirely.
         if self.tile_size and not 0 <= self.tile_overlap < self.tile_size:
             raise ValueError("tile_overlap must be in [0, tile_size)")
+        if not self.tile_size and self.tile_overlap < 0:
+            # tile_size=0 ignores the overlap, but a negative value would
+            # flow into TileGrid offset math if tiling is re-enabled later
+            raise ValueError("tile_overlap must be >= 0")
         if self.preset not in X264_PRESETS:
             raise ValueError(f"preset must be one of {X264_PRESETS}")
         if self.video_codec not in VIDEO_CODECS:

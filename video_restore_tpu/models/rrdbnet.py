@@ -626,8 +626,11 @@ def _apply(
         and "conv_up2" not in params
         and os.environ.get("VRT_X2_TAIL", "1") != "0"
     ):
-        # x2-model tail (single upsample stage, e.g. RealESRGAN_x2plus /
-        # BSRGANx2): assembled entirely from the existing kernel family —
+        # Single-upsample-stage tail (ESRGAN-style x2 nets with no
+        # conv_up2, e.g. BSRGANx2 — NOT RealESRGAN_x2plus, which is an
+        # unshuffle basicsr variant with num_upsample=2 and takes the
+        # two-stage branch below): assembled from the existing kernel
+        # family —
         # up1_fused IS lrelu(upconv2x), then the two plain convs run as
         # conv3x3_fused (XLA's conv_last at cout=3 was the 4 TF/s
         # lane-occupancy disaster at 4K)

@@ -307,7 +307,8 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
 
 
 def _rdb_stage(
-    x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok, nomask=None
+    x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok, nomask=None,
+    rc=None,
 ):
     """One full RDB on a window x (e, Wf, nf): 5 chained prefix-form convs
     + the 0.2 residual, masked to the frame (exact SAME padding; zeros
@@ -321,58 +322,97 @@ def _rdb_stage(
     frame time. Branching edge/interior per program to skip them for
     interior blocks VMEM-OOMed: Mosaic allocates both pl.when branch
     bodies' scoped buffers concurrently (166MB > 128MB at production
-    geometry) — a documented dead-end.
+    geometry) — the split edge/interior pallas_call launches in
+    rdb_stripe2d_split are the working form of that idea.
+
+    ``rc`` row-chunks the whole 5-conv chain (round 4): the fp32 prefix
+    accumulator, the ak lane-concats, and the growth tensors exist only
+    for ~rc rows at a time, carried across chunks by 1 accumulator row +
+    2 growth rows per stage (ZERO recompute — per-element math identical
+    to the monolithic form, it is pure re-association of row ranges).
+    The monolithic form's fp32 footprint scales with the window height
+    (the 221MB VMEM-OOM that blocked bh>135 at production geometry in
+    round 3); chunked, the live set is O(rc) and bh can grow until the
+    bf16 window/output buffers bound VMEM instead. rc=None keeps one
+    chunk (the proven monolithic trace).
     """
     if nomask is None:
         import os
 
         nomask = os.environ.get("VRT_NOMASK") == "1"
     w0, w1, w2, w3, w4 = w5
+    ws_ = (w0, w1, w2, w3, w4)
     b1, b2, b3, b4, b5_ = b5
+    bs_ = (b1, b2, b3, b4, b5_)
     g = gc
-
-    def grow(acc, k, bias):
-        """Extract c_k from the accumulator, mask to the frame, and cast
-        for the next conv. c_k row r <-> frame row top + k + r."""
-        e = acc.shape[0]
-        lo = nf + (4 - k) * g
-        ck = jax.nn.leaky_relu(acc[:, :, lo : lo + g] + bias, 0.2)
-        if nomask:
-            return ck.astype(dt)
-        rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
-        rowf = rows + (top + k)
-        ok = (rowf >= 0) & (rowf < h) & col_ok
-        return jnp.where(ok, ck, 0.0).astype(dt)
-
-    def add_prefix(acc, t):
-        # prefix update (Mosaic has no scatter-add; static slices + concat
-        # lower cleanly, and the offset-0 slice needs no lane shuffle)
-        cout = t.shape[-1]
-        return jnp.concatenate(
-            [acc[:, :, :cout] + t, acc[:, :, cout:]], axis=2
-        )
-
-    acc = _conv_prefix(x, w0[:], acc_dt)  # (e-2, wf, 4g+nf)
-    c1 = grow(acc, 1, b1[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c1, w1[:], acc_dt))
-    c2 = grow(acc, 2, b2[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c2, w2[:], acc_dt))
-    c3 = grow(acc, 3, b3[0])
-    acc = add_prefix(acc[1:-1], _conv_prefix(c3, w3[:], acc_dt))
-    c4 = grow(acc, 4, b4[0])
-    c5 = (
-        acc[1:-1, :, :nf].astype(jnp.float32)
-        + _conv_prefix(c4, w4[:])
-        + b5_[0]
-    )
     e = x.shape[0]
-    center = x[_HALO : e - _HALO, :, :].astype(jnp.float32)
-    if nomask:
-        return (center + 0.2 * c5).astype(dt)
-    rows = lax.broadcasted_iota(jnp.int32, (e - 2 * _HALO, 1, 1), 0)
-    rowf = rows + (top + _HALO)
-    ok = (rowf >= 0) & (rowf < h) & col_ok
-    return jnp.where(ok, center + 0.2 * c5, 0.0).astype(dt)
+    n1 = e - 2  # acc1 rows; stage-k acc has n1 - 2(k-1) rows
+
+    def mask_rows(t, row0, k):
+        """Mask a stage-k tensor whose row r is frame row top+k+row0+r."""
+        if nomask:
+            return t
+        rows = lax.broadcasted_iota(jnp.int32, (t.shape[0], 1, 1), 0)
+        rowf = rows + (top + k + row0)
+        ok = (rowf >= 0) & (rowf < h) & col_ok
+        return jnp.where(ok, t, 0.0)
+
+    # chunk boundaries in acc1-row space; the LAST chunk absorbs the
+    # remainder (size rc..2rc-1) so no stage's slice ever goes empty
+    if rc is None or rc >= n1:
+        bounds = [0, n1]
+    else:
+        if rc < 16:
+            raise ValueError(f"stripe row chunk rc must be >= 16 (got {rc})")
+        m = max(1, n1 // rc)
+        bounds = [j * rc for j in range(m)] + [n1]
+
+    out_chunks = []
+    carry_c = [None] * 4  # last 2 rows of c_k (masked, dt) per stage
+    carry_acc = [None] * 4  # last 1 row of acc_k (acc_dt) per stage
+    for j in range(len(bounds) - 1):
+        lo_b, hi_b = bounds[j], bounds[j + 1]
+        # stage 1: conv1 over x rows [lo_b, hi_b+2) -> acc1 rows [lo_b, hi_b)
+        acc = _conv_prefix(x[lo_b : hi_b + 2], w0[:], acc_dt)
+        for k in range(1, 5):
+            # this chunk's acc_k covers rows [max(0, lo_b-2(k-1)), hi_b-2(k-1))
+            sk = max(0, lo_b - 2 * (k - 1))
+            slot = nf + (4 - k) * g
+            ck = jax.nn.leaky_relu(acc[:, :, slot : slot + g] + bs_[k - 1][0], 0.2)
+            ck = mask_rows(ck, sk, k).astype(dt)
+            if j > 0:
+                conv_in = jnp.concatenate([carry_c[k - 1], ck], axis=0)
+                acc_src = jnp.concatenate(
+                    [carry_acc[k - 1], acc[:-1]], axis=0
+                )
+            else:
+                conv_in = ck
+                acc_src = acc[1:-1]
+            if j + 1 < len(bounds) - 1:
+                carry_c[k - 1] = ck[-2:]
+                carry_acc[k - 1] = acc[-1:]
+            if k < 4:
+                conv_out = _conv_prefix(conv_in, ws_[k][:], acc_dt)
+                cout = conv_out.shape[-1]
+                acc = jnp.concatenate(
+                    [acc_src[:, :, :cout] + conv_out, acc_src[:, :, cout:]],
+                    axis=2,
+                )
+            else:
+                # stage 5 epilogue: fp32 conv + residual on the nf prefix
+                c5 = (
+                    acc_src[:, :, :nf].astype(jnp.float32)
+                    + _conv_prefix(conv_in, ws_[4][:])
+                    + b5_[0]
+                )
+        s5 = max(0, lo_b - 2 * 4)
+        center = x[s5 + _HALO : (hi_b - 8) + _HALO].astype(jnp.float32)
+        out_chunks.append(
+            mask_rows(center + 0.2 * c5, s5, _HALO).astype(dt)
+        )
+    if len(out_chunks) == 1:
+        return out_chunks[0]
+    return jnp.concatenate(out_chunks, axis=0)
 
 
 def _rdb_stripe_kernel(
@@ -938,6 +978,19 @@ def rdb_res_stripe_padded(
 _MW = 8  # W-block margin columns (sublane-aligned; >= _HALO + 1 spare)
 
 
+def _stripe_rc_default(bh: int) -> int | None:
+    """Default row chunk for the 2D-blocked kernels: None (monolithic)
+    for short blocks where the fp32 accumulator already fits, 64 rows for
+    tall blocks (the round-4 chunked-accumulator form that lifts the
+    bh<=135 VMEM ceiling). VRT_STRIPE_RC overrides (0 = monolithic)."""
+    import os
+
+    v = os.environ.get("VRT_STRIPE_RC")
+    if v is not None and v.isdigit():
+        return int(v) or None
+    return None if bh <= 160 else 64
+
+
 def _pick_bh_bw(
     h: int, w: int, anchor: int = _VMEM_ROWS_WF
 ) -> Tuple[int, int]:
@@ -1107,6 +1160,7 @@ def _rdb_stripe2d_kernel(
     nwb: int,
     nb: int,
     cpad: int,
+    rc: int | None = None,
 ):
     bi = pl.program_id(0)
     gi = pl.program_id(1)
@@ -1158,7 +1212,7 @@ def _rdb_stripe2d_kernel(
             x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
             si * bh - _HALO,
             h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
-            acc_dt=jnp.float32, col_ok=col_ok,
+            acc_dt=jnp.float32, col_ok=col_ok, rc=rc,
         )
         out = out[:, _MW : _MW + bw, :]
         if cpad:
@@ -1176,7 +1230,9 @@ def _rdb_stripe2d_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frame_h", "frame_w", "block_h", "block_w", "interpret"),
+    static_argnames=(
+        "frame_h", "frame_w", "block_h", "block_w", "row_chunk", "interpret",
+    ),
 )
 def rdb_stripe2d_padded(
     xp: jax.Array,
@@ -1187,10 +1243,12 @@ def rdb_stripe2d_padded(
     frame_w: int,
     block_h: int | None = None,
     block_w: int | None = None,
+    row_chunk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB forward in 2D padded stripe form: (B, hp+2*bh, wp, nfp)
-    -> same shape, chainable (pad regions exact zeros)."""
+    -> same shape, chainable (pad regions exact zeros). ``row_chunk``
+    selects the chunked-accumulator stage form (None = auto by bh)."""
     b, hp2, wp_in, nfp = xp.shape
     nf = _wgeom(ws[0])[0]
     gc = _wgeom(ws[1])[0]
@@ -1209,6 +1267,7 @@ def rdb_stripe2d_padded(
         _rdb_stripe2d_kernel,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
+        rc=_stripe_rc_default(bh) if row_chunk is None else (row_chunk or None),
     )
     return pl.pallas_call(
         kernel,
@@ -1259,6 +1318,7 @@ def _rdb_res_stripe2d_kernel(
     nwb: int,
     nb: int,
     cpad: int,
+    rc: int | None = None,
 ):
     """rdb3 + RRDB 0.2-residual, 2D-blocked. Output aliases the block
     input's buffer: only body blocks are written, the pad-zero invariant
@@ -1315,7 +1375,7 @@ def _rdb_res_stripe2d_kernel(
         x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
         si * bh - _HALO,
         h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
-        acc_dt=jnp.float32, col_ok=col_ok,
+        acc_dt=jnp.float32, col_ok=col_ok, rc=rc,
     )
     t = t[:, _MW : _MW + bw, :]
     dma0.wait()
@@ -1328,7 +1388,9 @@ def _rdb_res_stripe2d_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frame_h", "frame_w", "block_h", "block_w", "interpret"),
+    static_argnames=(
+        "frame_h", "frame_w", "block_h", "block_w", "row_chunk", "interpret",
+    ),
 )
 def rdb_res_stripe2d_padded(
     xp: jax.Array,
@@ -1340,6 +1402,7 @@ def rdb_res_stripe2d_padded(
     frame_w: int,
     block_h: int | None = None,
     block_w: int | None = None,
+    row_chunk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """rdb3 + RRDB residual in 2D padded stripe form: returns
@@ -1363,6 +1426,7 @@ def rdb_res_stripe2d_padded(
         _rdb_res_stripe2d_kernel,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
+        rc=_stripe_rc_default(bh) if row_chunk is None else (row_chunk or None),
     )
     return pl.pallas_call(
         kernel,

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -239,12 +240,21 @@ def auto_full_frame(
     frame MACs (BENCH_NOTES round 3).
     """
     if hbm_bytes is None:
-        try:
-            d = jax.devices()[0]
-            stats = d.memory_stats() or {}
-            hbm_bytes = stats.get("bytes_limit", 16 << 30)
-        except Exception:
-            hbm_bytes = 16 << 30
+        env = os.environ.get("VRT_HBM_BYTES")
+        if env and env.isdigit():
+            hbm_bytes = int(env)
+        else:
+            try:
+                d = jax.devices()[0]
+                stats = d.memory_stats() or {}
+                hbm_bytes = stats.get("bytes_limit")
+            except Exception:
+                hbm_bytes = None
+        if hbm_bytes is None:
+            # runtime doesn't report an HBM limit (and no VRT_HBM_BYTES
+            # override): keep tiling rather than auto-upgrading to a
+            # full-frame program that may not fit
+            return False
     hw = height * width
     body = 5 * hw * feat_ch * 2
     up1 = 4 * hw * feat_ch * 2
