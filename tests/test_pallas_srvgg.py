@@ -56,6 +56,86 @@ def test_srvgg_stripe_kernel_parity(rng):
     assert np.all(op[..., nf:] == 0)
 
 
+def test_srvgg_stripe2d_kernel_parity(rng):
+    """2D-blocked SRVGG body kernel (margin-DMA W blocks) == the naive
+    chain for all three contraction forms (roll / N-packed / im2col);
+    pad-zero invariant held. Exercises frame-edge margin fixups, hp>h
+    and wp>w masking."""
+    from video_restore_tpu.ops.conv import conv2d, prelu
+    from video_restore_tpu.ops.pallas_srvgg import (
+        fold_dy,
+        srvgg_stripe2d_padded,
+    )
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        unpad_stripe2d_exit,
+    )
+
+    nf, g = 16, 4
+    b, h, w = 2, 56, 73
+    bh, bw = 24, 40  # ns=3 (hp=72>56), nwb=2 (wp=80>73)
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ws = jnp.asarray(
+        (rng.random((g, 3, 3, nf, nf)) - 0.5) * 0.3, jnp.float32
+    )
+    bs = jnp.asarray(rng.random((g, nf)) * 0.1, jnp.float32)
+    al = jnp.asarray(rng.random((g, nf)) * 0.5, jnp.float32)
+
+    ref = x
+    for i in range(g):
+        ref = prelu(conv2d(ref, ws[i], bs[i]), al[i])
+    ref = np.asarray(ref)
+
+    wd = fold_dy(ws)  # (g, 3, 3nf, nf)
+    forms = {
+        "roll": wd,
+        "pack": jnp.swapaxes(wd, -3, -2).reshape(g, 3 * nf, 3 * nf),
+        "im2col": wd.reshape(g, 9 * nf, nf),
+    }
+    for name, wk in forms.items():
+        xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+        o = srvgg_stripe2d_padded(
+            xp, wk, bs, al, frame_h=h, frame_w=w, group=g,
+            block_h=bh, block_w=bw, interpret=True,
+        )
+        out = unpad_stripe2d_exit(o, h, w, nf, block_h=bh, block_w=bw)
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-5, atol=1e-5, err_msg=name
+        )
+        op = np.asarray(o)
+        assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+        assert np.all(op[:, :, w:] == 0)
+        assert np.all(op[..., nf:] == 0)
+
+
+def test_srvgg_model_stripe2d_path(rng, monkeypatch):
+    """Full model with the 2D body forced (VRT_SRVGG_2D=BHxBW, pack
+    kform) == the XLA scan path — pins the driver dispatch in
+    srvgg._apply."""
+    from unittest import mock
+
+    from video_restore_tpu.ops import pallas_srvgg as pk
+
+    monkeypatch.setenv("VRT_SRVGG_2D", "24x40")
+    monkeypatch.setenv("VRT_SRVGG_KFORM", "pack")
+    monkeypatch.setenv("VRT_SRVGG_GROUP", "4")
+    monkeypatch.setenv("VRT_SRVGG_UP", "0")  # XLA upsampler on CPU
+    spec = SRVGGSpec(num_feat=16, num_conv=8)
+    params = init_srvgg(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 48, 73, 3)).astype(np.float32))
+    ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
+
+    orig = pk.srvgg_stripe2d_padded
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pk, "srvgg_stripe2d_padded", interp):
+        got = np.asarray(apply_srvgg(params, x, spec, stripe=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_srvgg_model_stripe_path(rng):
     """Full model via the stripe body (interpret) == the XLA scan path."""
     import video_restore_tpu.ops.pallas_srvgg as pk

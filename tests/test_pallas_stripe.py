@@ -672,6 +672,53 @@ def test_rdb_stripe2d_row_chunked(rng):
         assert np.all(op[:, :, w:] == 0)
 
 
+def test_rdb_stripe2d_split_launches(rng):
+    """Split edge/interior launches == the single-call 2D kernels
+    bit-for-bit: the masked ring (rows + cols calls) and the mask-free
+    interior call compose via aliasing; halo/pad zeros preserved.
+    Covers both the plain RDB and the res (RRDB residual) form."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        rdb_res_stripe2d_padded,
+        rdb_stripe2d_padded,
+        rdb_stripe2d_split,
+        stripe2d_split_ok,
+    )
+
+    rdb1, ws1, bs1 = _one_rdb(seed=0)
+    rdb3, ws3, bs3 = _one_rdb(seed=2)
+    b, h, w, nf = 2, 64, 72, 16
+    bh, bw = 16, 24  # ns=4, nwb=3 — a true interior exists
+    assert stripe2d_split_ok(h, w, bh, bw)
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32) - 0.5)
+    kw = dict(
+        frame_h=h, frame_w=w, block_h=bh, block_w=bw, interpret=True
+    )
+    xp = np.asarray(pad_stripe2d_entry(x, block_h=bh, block_w=bw))
+    ref = np.asarray(
+        rdb_stripe2d_padded(jnp.asarray(xp), ws1, bs1, **kw)
+    )
+    got = np.asarray(
+        rdb_stripe2d_split(jnp.asarray(xp), ws1, bs1, **kw)
+    )
+    # tolerance: interpret mode lowers each call through XLA:CPU whose
+    # fusion choices can flip the last fp32 bit (on TPU Mosaic the split
+    # form measured bit-exact vs the single-call kernels)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    rref = rdb_res_stripe2d_padded(
+        jnp.asarray(ref), jnp.asarray(xp), ws3, bs3, **kw
+    )
+    rgot = rdb_stripe2d_split(
+        jnp.asarray(ref), ws3, bs3, x0=jnp.asarray(xp), res=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgot), np.asarray(rref), rtol=1e-6, atol=1e-6
+    )
+    g = np.asarray(rgot)
+    assert np.all(g[:, :bh] == 0) and np.all(g[:, bh + h :] == 0)
+    assert np.all(g[:, :, w:] == 0)
+
+
 def test_rdb_stripe2d_packed_weights(rng):
     """2D form with the production N-packed contraction weights."""
     from video_restore_tpu.ops.pallas_stripe import (

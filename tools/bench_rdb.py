@@ -216,6 +216,47 @@ def main():
 
             bench(mode, step, xp, wb, shape=(bb, hh, ww))
 
+        elif mode.startswith("s2s"):
+            # s2s:BH:BW[:H:W:B] — split edge/interior launches (masked
+            # ring in two calls, mask-free interior in a third)
+            from video_restore_tpu.ops.pallas_stripe import (
+                pad_stripe2d_entry,
+                production_prefix_weights,
+                rdb_stripe2d_split,
+                stripe2d_split_ok,
+            )
+
+            parts = mode.split(":")
+            bh, bw = int(parts[1]), int(parts[2])
+            hh = int(parts[3]) if len(parts) > 3 else H
+            ww = int(parts[4]) if len(parts) > 4 else W
+            bb = int(parts[5]) if len(parts) > 5 else B
+            assert stripe2d_split_ok(hh, ww, bh, bw), "no interior"
+            ws, bs = prefix_rdb_weights(rdb, NF, GC)
+            ws = production_prefix_weights(ws)
+            wb = (
+                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                tuple(jnp.asarray(b) for b in bs),
+            )
+            x2 = jnp.asarray(rng.random((bb, hh, ww, NF)), jnp.bfloat16)
+            xp = pad_stripe2d_entry(x2, block_h=bh, block_w=bw)
+
+            @jax.jit
+            def step(xp, wb, bh=bh, bw=bw, hh=hh, ww=ww):
+                def body(h, _):
+                    return (
+                        rdb_stripe2d_split(
+                            h, wb[0], wb[1],
+                            frame_h=hh, frame_w=ww,
+                            block_h=bh, block_w=bw,
+                        ),
+                        None,
+                    )
+
+                return lax.scan(body, xp, None, length=REPS)[0]
+
+            bench(mode, step, xp, wb, shape=(bb, hh, ww))
+
         elif mode.startswith("stripem"):
             # stripem:BH:PACK:IM2 — mixed contraction: N-pack the PACK
             # sources, im2col the IM2 sources (e.g. stripem:64:014:23 is

@@ -93,12 +93,15 @@ def _stripe_group() -> int:
 def _stripe_kform() -> str:
     """Contraction form of the fused body kernel: 'roll' = dy-folded
     3-matmul form with fp32 partial rolls; 'im2col' = dx folded into K
-    (one (M, 9nf) x (9nf, nf) matmul per conv, no rolls). VRT_SRVGG_KFORM
-    selects; see ops/pallas_stripe._conv_prefix for the tradeoff."""
+    (one (M, 9nf) x (9nf, nf) matmul per conv, no rolls); 'pack' =
+    N-packed dx (ONE (M, 3nf) x (3nf, 3nf) matmul + slice/roll/add —
+    lane occupancy 50%->75%, the same trick as the RDB body's
+    NPACK_DEFAULT). VRT_SRVGG_KFORM selects; see
+    ops/pallas_stripe._conv_prefix for the tradeoff."""
     import os
 
     v = os.environ.get("VRT_SRVGG_KFORM", "roll")
-    return v if v in ("roll", "im2col") else "roll"
+    return v if v in ("roll", "im2col", "pack") else "roll"
 
 
 @partial(jax.jit, static_argnames=("scale", "stripe"))
@@ -113,10 +116,14 @@ def _apply(
     if stripe:
         from video_restore_tpu.ops.pallas_srvgg import (
             fold_dy,
+            srvgg_stripe2d_padded,
+            srvgg_stripe2d_selection,
             srvgg_stripe_padded,
         )
         from video_restore_tpu.ops.pallas_stripe import (
+            pad_stripe2d_entry,
             pad_stripe_entry,
+            unpad_stripe2d_exit,
             unpad_stripe_exit,
         )
 
@@ -128,26 +135,56 @@ def _apply(
             g -= 1
         ngroups = nconv // g
         wsg = fold_dy(params["body"]["w"])  # (nconv, 3, 3nf, nf)
-        if _stripe_kform() == "im2col":
+        kform = _stripe_kform()
+        if kform == "im2col":
             wsg = wsg.reshape(ngroups, g, 9 * nf, nf)
+        elif kform == "pack":
+            # N-packed dx: (3, 3nf, nf) -> (3nf, 3nf), lane blocks
+            # [dx=0 | dx=1 | dx=2] (pack_prefix_weights' transform)
+            wsg = jnp.swapaxes(wsg, -3, -2).reshape(
+                ngroups, g, 3 * nf, 3 * nf
+            )
         else:
             wsg = wsg.reshape(ngroups, g, 3, 3 * nf, nf)
         bsg = params["body"]["b"].reshape(ngroups, g, nf)
         asg = params["body"]["alpha"].reshape(ngroups, g, nf)
 
-        xp = pad_stripe_entry(feat)
+        blocks = srvgg_stripe2d_selection(fh, fw, g)
+        if blocks is not None:
+            # full-frame 2D-blocked body: no tile overlap, margin-DMA
+            # W blocks bound VMEM at any width (the full-width form at
+            # 1920-wide needed bh<=16 = 2x halo tax)
+            bh2, bw2 = blocks
+            xp = pad_stripe2d_entry(feat, block_h=bh2, block_w=bw2)
 
-        def gstep(hc, gw):
-            wg, bg, ag = gw
-            return (
-                srvgg_stripe_padded(
-                    hc, wg, bg, ag, frame_h=fh, frame_w=fw, group=g
-                ),
-                None,
+            def gstep(hc, gw):
+                wg, bg, ag = gw
+                return (
+                    srvgg_stripe2d_padded(
+                        hc, wg, bg, ag, frame_h=fh, frame_w=fw,
+                        group=g, block_h=bh2, block_w=bw2,
+                    ),
+                    None,
+                )
+
+            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg))
+            feat = unpad_stripe2d_exit(
+                xp, fh, fw, nf, block_h=bh2, block_w=bw2
             )
+        else:
+            xp = pad_stripe_entry(feat)
 
-        xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg))
-        feat = unpad_stripe_exit(xp, fh, fw, nf)
+            def gstep(hc, gw):
+                wg, bg, ag = gw
+                return (
+                    srvgg_stripe_padded(
+                        hc, wg, bg, ag, frame_h=fh, frame_w=fw, group=g
+                    ),
+                    None,
+                )
+
+            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg))
+            feat = unpad_stripe_exit(xp, fh, fw, nf)
     else:
         def step(h, bp):
             return prelu(conv2d(h, bp["w"], bp["b"]), bp["alpha"]), None

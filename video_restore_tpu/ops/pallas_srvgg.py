@@ -31,6 +31,8 @@ from video_restore_tpu.ops.pallas_stripe import (
     _PADL,
     _conv_prefix,
     _geometry,
+    _geometry2d,
+    _stripe2d_window,
 )
 
 
@@ -171,6 +173,243 @@ def srvgg_stripe_padded(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        ws.astype(xp.dtype),
+        bs.reshape(group, 1, nf).astype(jnp.float32),
+        alphas.reshape(group, 1, nf).astype(jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2D-blocked body form (round 4): H stripes x W blocks with margin-DMA,
+# ported from ops/pallas_stripe's rdb_stripe2d_padded. The full-width form
+# at 1920-wide frames forces bh<=16 under the VMEM row anchor, i.e. a
+# (16+2*8)/16 = 2x halo-compute tax at group=8 — config 4 therefore ran
+# TILED (12% overlap MACs + per-tile glue). The W-block margin bounds VMEM
+# at (bh+2G)x(bw+2*mw) for ANY frame width, so the 32-conv body runs
+# FULL-FRAME. Margin mw=16 >= group+1: roll-wrap garbage telescopes one
+# column per conv, staying inside the margin for group<=15.
+# ---------------------------------------------------------------------------
+
+_MWG = 16  # W-block margin columns for the grouped-conv kernel
+
+
+def _pick_bh_bw_srvgg(
+    h: int, w: int, group: int, mw: int = _MWG
+) -> "tuple[int, int]":
+    """(bh, bw) minimizing the halo/margin MAC overhead
+    (bh+2G)/bh * (bw+2mw)/bw * padded/frame under the VMEM constraint
+    (window + output block rows-in-flight; 128-lane bf16 double-buffered
+    windows + pipelined output blocks + ~30MB chunked temporaries)."""
+    best = None
+    for bw in range(64, 521, 8):
+        nwb = -(-w // bw)
+        if nwb < 2:
+            continue
+        bwf = bw + 2 * mw
+        for bh in range(16, 513, 8):
+            if (bh + 2 * group) * bwf + bh * bw > 190_000:
+                break
+            hp = -(-h // bh) * bh
+            cost = (
+                (bh + 2 * group) / bh * bwf / bw * (hp * nwb * bw) / (h * w)
+            )
+            if best is None or cost < best[0]:
+                best = (cost, bh, bw)
+    if best is None:
+        raise ValueError(f"no SRVGG 2D geometry for {h}x{w}")
+    return best[1], best[2]
+
+
+def srvgg_stripe2d_selection(
+    h: int, w: int, group: int
+) -> "tuple[int, int] | None":
+    """None keeps the full-width stripe form (tile-width inputs, where a
+    bh>=48 full-width stripe fits); otherwise the (bh, bw) 2D blocks.
+    VRT_SRVGG_2D: auto (default), 0 (always full-width), BHxBW forced."""
+    import os
+
+    v = os.environ.get("VRT_SRVGG_2D", "auto")
+    if v in ("0", ""):
+        return None
+    if v not in ("auto", "1"):
+        try:
+            bh_s, bw_s = v.lower().split("x")
+            return int(bh_s), int(bw_s)
+        except ValueError:
+            pass
+    if v != "1":
+        wf = _PADL + w + _PADL
+        wf += (8 - wf % 8) % 8
+        if (48 + 2 * group) * wf <= 38480:  # full-width bh>=48 fits
+            return None
+    try:
+        return _pick_bh_bw_srvgg(h, w, group)
+    except ValueError:
+        return None
+
+
+def _srvgg_stripe2d_kernel(
+    xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
+    w_ref,  # (G, 3, 3nf, nf) per-dx / (G, 3nf, 3nf) N-packed / im2col
+    b_ref,  # (G, 1, nf) fp32
+    a_ref,  # (G, 1, nf) fp32 PReLU alphas
+    out_ref,  # (1, bh, bw, nfp) VMEM block
+    xblk,  # (2, bh + 2*G, bwf, nfp)
+    sem,
+    *,
+    bh: int,
+    bw: int,
+    h: int,
+    w: int,
+    wp: int,
+    nf: int,
+    group: int,
+    ns: int,
+    nwb: int,
+    nb: int,
+    cpad: int,
+):
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    wi = pl.program_id(2)
+    si = gi - 1
+    is_halo = (gi == 0) | (gi == ns + 1)
+    m = (bi * ns + jnp.clip(si, 0, ns - 1)) * nwb + wi
+    he = bh + 2 * group
+    bwf = bw + 2 * _MWG
+    row_off = bh - group
+
+    def dma(slot, idx):
+        bb = idx // (ns * nwb)
+        rem = idx % (ns * nwb)
+        ii = rem // nwb
+        jj = rem % nwb
+        c0c = pl.multiple_of(jnp.clip(jj * bw - _MWG, 0, wp - bwf), 8)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh + row_off, he), pl.ds(c0c, bwf)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((bi == 0) & (gi == 0) & (wi == 0))
+    def _():
+        dma(0, 0).start()
+
+    def compute():
+        @pl.when(m + 1 < nb * ns * nwb)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
+
+        dma(m % 2, m).wait()
+        dt = out_ref.dtype
+        _stripe2d_window(xblk, m % 2, wi, nwb, he, bwf, dt, mw=_MWG)
+        t = xblk[m % 2][:, :, :nf]
+        cols = lax.broadcasted_iota(jnp.int32, (1, bwf, 1), 1)
+        gcol = cols + (wi * bw - _MWG)
+        col_ok = (gcol >= 0) & (gcol < w)
+        top = si * bh - group
+        for g in range(group):
+            acc = _conv_prefix(t, w_ref[g]) + b_ref[g]
+            acc = jnp.where(acc >= 0, acc, acc * a_ref[g])  # PReLU
+            e = acc.shape[0]
+            rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+            rowf = rows + (top + 1)
+            ok = (rowf >= 0) & (rowf < h) & col_ok
+            t = jnp.where(ok, acc, 0.0).astype(dt)
+            top += 1
+
+        out = t[:, _MWG : _MWG + bw, :]
+        if cpad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((bh, bw, cpad), dt)], axis=2
+            )
+        out_ref[0] = out
+
+    @pl.when(is_halo)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    pl.when(~is_halo)(compute)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_h", "frame_w", "group", "block_h", "block_w", "interpret",
+    ),
+)
+def srvgg_stripe2d_padded(
+    xp: jax.Array,
+    ws: jax.Array,  # (G, 3, 3nf, nf) dy-folded / (G, 3nf, 3nf) / im2col
+    bs: jax.Array,  # (G, nf)
+    alphas: jax.Array,  # (G, nf)
+    *,
+    frame_h: int,
+    frame_w: int,
+    group: int,
+    block_h: int,
+    block_w: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """``group`` chained conv3x3+PReLU layers in 2D padded stripe form:
+    (B, hp+2*bh, wp, nfp) -> same shape, chainable (pad zeros exact)."""
+    b, hp2, wp_in, nfp = xp.shape
+    # per-dx (G,3,3nf,nf) and im2col (G,9nf,nf) end in nf; the N-packed
+    # square (G,3nf,3nf) ends in 3nf
+    nf = (
+        ws.shape[-1] // 3
+        if ws.ndim == 3 and ws.shape[-2] == ws.shape[-1]
+        else ws.shape[-1]
+    )
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(
+        frame_h, frame_w, nf, block_h, block_w
+    )
+    if (hp2, wp_in, nfp) != (hp + 2 * bh, wp, nf + cpad):
+        raise ValueError(
+            f"2D padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
+        )
+    if group > bh:
+        raise ValueError(f"group {group} exceeds block_h {bh}")
+    if group >= _MWG:
+        raise ValueError(f"group {group} overruns the W margin {_MWG}")
+    if bw + 2 * _MWG > wp:
+        raise ValueError(
+            f"window {bw + 2 * _MWG} wider than padded frame {wp}: "
+            f"need (nwb-1)*bw >= {2 * _MWG}"
+        )
+
+    kernel = functools.partial(
+        _srvgg_stripe2d_kernel,
+        bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, group=group,
+        ns=ns, nwb=nwb, nb=b, cpad=cpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ns + 2, nwb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(
+            (1, bh, bw, nf + cpad),
+            lambda bb, i, j: (bb, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, hp + 2 * bh, wp, nf + cpad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, bh + 2 * group, bw + 2 * _MWG, nf + cpad), xp.dtype
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -240,27 +240,39 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
     """
     e, wf, cin = a.shape
     oh = e - 2
-    ak = jnp.concatenate([a[0:oh], a[1 : 1 + oh], a[2 : 2 + oh]], axis=2)
-    if w.ndim == 2 and w.shape[0] > w.shape[1]:
-        # im2col (9cin, cout): dx folded into K. The three dx taps are
-        # column-shifted copies of ak (zero-filled at the wrap columns,
-        # which the caller's frame mask discards anyway), so the matmul
-        # output is already column-aligned — no fp32 partial rolls, and
-        # the MXU writes cout lanes once instead of 3N. K > N always
-        # distinguishes this layout from the N-packed one below (cout of
-        # every RDB conv exceeds its cin, so 9cin > cout and 3cin < 3cout).
+    im2col = w.ndim == 2 and w.shape[0] > w.shape[1]
+    npacked = w.ndim == 2 and not im2col
+    # fp32-partial byte budget bounds the row chunk; the dy-stack concat
+    # ak is built PER CHUNK (round 4) so its bf16 footprint is bounded
+    # too — the full-height build scaled with the window (82MB at the
+    # bh=270 probe) and was half of round-3's taller-stripe VMEM OOM
+    if im2col:
         rc = max(8, _npack_chunk_bytes() // (wf * w.shape[0] * 2) // 8 * 8)
-        outs = []
-        zc = jnp.zeros_like(ak[:1, :1])
-        for r0 in range(0, oh, rc):
-            r1 = min(r0 + rc, oh)
-            akc = ak[r0:r1]
-            z = jnp.broadcast_to(zc, (r1 - r0, 1, ak.shape[2]))
+    elif npacked:
+        rc = max(8, _npack_chunk_bytes() // (wf * w.shape[1] * 4) // 8 * 8)
+    else:
+        rc = max(8, _npack_chunk_bytes() // (wf * w.shape[-1] * 4) // 8 * 8)
+    outs = []
+    for r0 in range(0, oh, rc):
+        r1 = min(r0 + rc, oh)
+        ak = jnp.concatenate(
+            [a[r0:r1], a[r0 + 1 : r1 + 1], a[r0 + 2 : r1 + 2]], axis=2
+        )
+        if im2col:
+            # im2col (9cin, cout): dx folded into K. The three dx taps
+            # are column-shifted copies of ak (zero-filled at the wrap
+            # columns, which the caller's frame mask discards anyway), so
+            # the matmul output is already column-aligned — no fp32
+            # partial rolls, and the MXU writes cout lanes once instead
+            # of 3N. K > N always distinguishes this layout from the
+            # N-packed one below (cout of every RDB conv exceeds its cin,
+            # so 9cin > cout and 3cin < 3cout).
+            z = jnp.zeros((r1 - r0, 1, ak.shape[2]), ak.dtype)
             ak9 = jnp.concatenate(
                 [
-                    jnp.concatenate([z, akc[:, :-1]], axis=1),  # col j-1
-                    akc,
-                    jnp.concatenate([akc[:, 1:], z], axis=1),  # col j+1
+                    jnp.concatenate([z, ak[:, :-1]], axis=1),  # col j-1
+                    ak,
+                    jnp.concatenate([ak[:, 1:], z], axis=1),  # col j+1
                 ],
                 axis=2,
             )
@@ -272,16 +284,10 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
                     preferred_element_type=jnp.float32,
                 )
             )
-        acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return acc.astype(out_dt)
-    if w.ndim == 2:  # N-packed (3cin, 3cout)
-        n = w.shape[1] // 3
-        rc = max(8, _npack_chunk_bytes() // (wf * 3 * n * 4) // 8 * 8)
-        outs = []
-        for r0 in range(0, oh, rc):
-            r1 = min(r0 + rc, oh)
+        elif npacked:  # N-packed (3cin, 3cout)
+            n = w.shape[1] // 3
             p = lax.dot_general(
-                ak[r0:r1],
+                ak,
                 w,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -291,18 +297,19 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
                 part = _roll_w(p[:, :, dx * n : (dx + 1) * n], dx - 1)
                 q = part if q is None else q + part
             outs.append(q)
-        acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return acc.astype(out_dt)
-    acc = None
-    for dx in range(3):
-        p = lax.dot_general(
-            ak,
-            w[dx],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        p = _roll_w(p, dx - 1)
-        acc = p if acc is None else acc + p
+        else:  # per-dx (3, 3cin, cout): one matmul per column tap
+            acc = None
+            for dx in range(3):
+                p = lax.dot_general(
+                    ak,
+                    w[dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = _roll_w(p, dx - 1)
+                acc = p if acc is None else acc + p
+            outs.append(acc)
+    acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return acc.astype(out_dt)
 
 
@@ -1122,7 +1129,7 @@ def unpad_stripe2d_exit(
     return xp[:, bh : bh + h, :w, :nf]
 
 
-def _stripe2d_window(xblk, slot, wi, nwb, he, bwf, dt):
+def _stripe2d_window(xblk, slot, wi, nwb, he, bwf, dt, mw: int = _MW):
     """Post-DMA margin fixup for the frame-edge W blocks: shift the
     clamped window onto the virtual [c0, c0+bwf) column range, zeros in
     the out-of-frame margin (static concats only — Mosaic rotates 32-bit
@@ -1131,14 +1138,14 @@ def _stripe2d_window(xblk, slot, wi, nwb, he, bwf, dt):
     @pl.when(wi == 0)
     def _():
         win = xblk[slot]
-        z = jnp.zeros((he, _MW, win.shape[-1]), dt)
-        xblk[slot] = jnp.concatenate([z, win[:, :-_MW]], axis=1)
+        z = jnp.zeros((he, mw, win.shape[-1]), dt)
+        xblk[slot] = jnp.concatenate([z, win[:, :-mw]], axis=1)
 
     @pl.when(wi == nwb - 1)
     def _():
         win = xblk[slot]
-        z = jnp.zeros((he, _MW, win.shape[-1]), dt)
-        xblk[slot] = jnp.concatenate([win[:, _MW:], z], axis=1)
+        z = jnp.zeros((he, mw, win.shape[-1]), dt)
+        xblk[slot] = jnp.concatenate([win[:, mw:], z], axis=1)
 
 
 def _rdb_stripe2d_kernel(
@@ -1456,6 +1463,309 @@ def rdb_res_stripe2d_padded(
         ),
         interpret=interpret,
     )(xp, x0, *wlist, *bias3)
+
+
+# ---------------------------------------------------------------------------
+# Split edge/interior launches (round 4): the frame masks measured ~2.2%
+# of flagship frame time (VRT_NOMASK probe), but skipping them needs
+# per-block knowledge of whether the window touches a frame edge.
+# Branching inside one kernel is a measured dead-end (pl.when allocates
+# both branch bodies' scratch concurrently -> VMEM OOM), so instead the
+# RDB runs as up to THREE pallas_calls over disjoint block sets, chained
+# by mandatory aliasing (input_output_aliases — no copies):
+#
+#   rows: the si=0 / si=ns-1 row-blocks (+ the zero-halo blocks for the
+#         non-res form), full masks;
+#   cols: the wi=0 / wi=nwb-1 column-blocks of interior rows, full masks;
+#   int:  fully-interior blocks — NO masks (their windows never touch a
+#         frame edge; roll-wrap garbage telescopes inside the _MW margin
+#         exactly as in the masked form).
+#
+# Interior safety requires the adjacent-to-edge blocks' windows to stay
+# in-frame: (ns-1)*bh + _HALO <= h and (nwb-1)*bw + _MW <= w (always true
+# for exact-divisor grids); otherwise the caller falls back to the
+# single-call kernel.
+# ---------------------------------------------------------------------------
+
+
+def _rdb_stripe2d_part_kernel(
+    *refs,
+    part: str,  # "rows" | "cols" | "int"
+    res: bool,  # apply the RRDB residual (x0 read from prev_ref)
+    has_prev: bool,  # a prev/alias input follows xp_ref
+    nomask: bool,
+    bh: int,
+    bw: int,
+    h: int,
+    w: int,
+    wp: int,
+    nf: int,
+    gc: int,
+    ns: int,
+    nwb: int,
+    nb: int,
+    cpad: int,
+    rc: int | None,
+):
+    xp_ref = refs[0]
+    prev_ref = refs[1] if has_prev else None
+    base = 1 + int(has_prev)
+    w0, w1, w2, w3, w4, b1, b2, b3, b4, b5 = refs[base : base + 10]
+    out_ref = refs[base + 10]
+    scratch = refs[base + 11 :]
+    xblk, sem = scratch[0], scratch[1]
+    if res:
+        x0blk, sem0 = scratch[2], scratch[3]
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    ji = pl.program_id(2)
+    he = bh + 2 * _HALO
+    bwf = bw + 2 * _MW
+    row_off = bh - _HALO
+
+    # part-specific decode: (si, wi) of THIS program, body-program count
+    # per batch (nbp), flat->(si, wi) for the prefetch, and halo handling
+    if part == "rows":
+        if res:
+            si = gi * (ns - 1)
+            is_halo = None
+        else:
+            si = (jnp.clip(gi, 1, 2) - 1) * (ns - 1)
+            is_halo = (gi == 0) | (gi == 3)
+        wi = ji
+        nbp = 2 * nwb
+
+        def decode(r):
+            return (r // nwb) * (ns - 1), r % nwb
+
+    elif part == "cols":
+        si = gi + 1
+        wi = ji * (nwb - 1)
+        is_halo = None
+        nbp = (ns - 2) * 2
+
+        def decode(r):
+            return r // 2 + 1, (r % 2) * (nwb - 1)
+
+    elif part == "int":
+        si = gi + 1
+        wi = ji + 1
+        is_halo = None
+        nbp = (ns - 2) * (nwb - 2)
+
+        def decode(r):
+            return r // (nwb - 2) + 1, r % (nwb - 2) + 1
+
+    else:  # pragma: no cover
+        raise ValueError(part)
+
+    # flat body-program counter (halo programs alias a neighbour's m but
+    # never touch the DMA machinery)
+    if part == "rows":
+        gb = gi if res else jnp.clip(gi, 1, 2) - 1
+        m = (bi * 2 + gb) * nwb + ji
+    elif part == "cols":
+        m = bi * nbp + gi * 2 + ji
+    else:
+        m = bi * nbp + gi * (nwb - 2) + ji
+
+    def dma(slot, idx):
+        bb = idx // nbp
+        r = idx % nbp
+        si_d, wi_d = decode(r)
+        c0c = pl.multiple_of(
+            jnp.clip(wi_d * bw - _MW, 0, wp - bwf), 8
+        )  # bw, _MW, wp, bwf are all multiples of 8
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(si_d * bh + row_off, he), pl.ds(c0c, bwf)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((bi == 0) & (gi == 0) & (ji == 0))
+    def _():
+        dma(0, 0).start()
+
+    def compute():
+        if res:
+            dma0 = pltpu.make_async_copy(
+                prev_ref.at[
+                    bi,
+                    pl.ds(bh + si * bh, bh),
+                    pl.ds(pl.multiple_of(wi * bw, 8), bw),
+                ],
+                x0blk,
+                sem0.at[0],
+            )
+            dma0.start()
+
+        @pl.when(m + 1 < nb * nbp)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
+
+        dma(m % 2, m).wait()
+        dt = out_ref.dtype
+        _stripe2d_window(xblk, m % 2, wi, nwb, he, bwf, dt)
+        x = xblk[m % 2][:, :, :nf]
+        if nomask:
+            col_ok = None
+        else:
+            cols = lax.broadcasted_iota(jnp.int32, (1, bwf, 1), 1)
+            gcol = cols + (wi * bw - _MW)
+            col_ok = (gcol >= 0) & (gcol < w)
+        t = _rdb_stage(
+            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            si * bh - _HALO,
+            h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
+            acc_dt=jnp.float32, col_ok=col_ok, rc=rc, nomask=nomask,
+        )
+        t = t[:, _MW : _MW + bw, :]
+        if res:
+            dma0.wait()
+            x0c = x0blk[:, :, :nf].astype(jnp.float32)
+            t = (x0c + 0.2 * t.astype(jnp.float32)).astype(dt)
+        if cpad:
+            t = jnp.concatenate([t, jnp.zeros((bh, bw, cpad), dt)], axis=2)
+        out_ref[0] = t
+
+    if is_halo is None:
+        compute()
+    else:
+        @pl.when(is_halo)
+        def _():
+            out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+        pl.when(~is_halo)(compute)
+
+
+def stripe2d_split_ok(
+    frame_h: int, frame_w: int, bh: int, bw: int
+) -> bool:
+    """Split launches need an interior and in-frame edge-adjacent
+    windows; VRT_SPLIT=0 disables."""
+    import os
+
+    if os.environ.get("VRT_SPLIT", "1") == "0":
+        return False
+    ns = -(-frame_h // bh)
+    nwb = -(-frame_w // bw)
+    return (
+        ns >= 3
+        and nwb >= 3
+        and (ns - 1) * bh + _HALO <= frame_h
+        and (nwb - 1) * bw + _MW <= frame_w
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_h", "frame_w", "block_h", "block_w", "row_chunk",
+        "res", "interpret",
+    ),
+)
+def rdb_stripe2d_split(
+    xp: jax.Array,
+    ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    *,
+    frame_h: int,
+    frame_w: int,
+    block_h: int,
+    block_w: int,
+    x0: jax.Array | None = None,
+    row_chunk: int | None = None,
+    res: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused RDB (optionally + RRDB residual when ``res``/``x0``) in 2D
+    padded stripe form, as split edge/interior pallas_call launches: the
+    masked ring runs in two calls (rows, cols) and the mask-free interior
+    in a third, chained by mandatory aliasing. Caller must check
+    stripe2d_split_ok first."""
+    b, hp2, wp_in, nfp = xp.shape
+    nf = _wgeom(ws[0])[0]
+    gc = _wgeom(ws[1])[0]
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(
+        frame_h, frame_w, nf, block_h, block_w
+    )
+    if (hp2, wp_in, nfp) != (hp + 2 * bh, wp, nf + cpad):
+        raise ValueError(
+            f"2D padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
+        )
+    if res != (x0 is not None):
+        raise ValueError("res=True requires x0 (and vice versa)")
+    bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
+    wlist = [wi.astype(xp.dtype) for wi in ws]
+    rc = _stripe_rc_default(bh) if row_chunk is None else (row_chunk or None)
+
+    kw = dict(
+        res=res, bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
+        ns=ns, nwb=nwb, nb=b, cpad=cpad, rc=rc,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (b, hp + 2 * bh, wp, nf + cpad), xp.dtype
+    )
+    base_scratch = [
+        pltpu.VMEM((2, bh + 2 * _HALO, bw + 2 * _MW, nf + cpad), xp.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    res_scratch = [
+        pltpu.VMEM((bh, bw, nf + cpad), xp.dtype),
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=127 * 1024 * 1024,
+    )
+    obs = lambda im: pl.BlockSpec(  # noqa: E731
+        (1, bh, bw, nf + cpad), im, memory_space=pltpu.VMEM
+    )
+
+    def call(part, nomask, grid, index_map, prev):
+        kernel = functools.partial(
+            _rdb_stripe2d_part_kernel,
+            part=part, nomask=nomask, has_prev=prev is not None, **kw
+        )
+        ins = [xp] + ([prev] if prev is not None else []) + wlist + bias3
+        nconst = 10
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            * (len(ins) - nconst)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nconst,
+            out_specs=obs(index_map),
+            out_shape=out_shape,
+            scratch_shapes=base_scratch + (res_scratch if res else []),
+            input_output_aliases=(
+                {1: 0} if prev is not None else {}
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(*ins)
+
+    if res:
+        # x0 is both the residual source and the alias chain seed; halo
+        # blocks inherit x0's pad zeros (never rewritten)
+        o = call(
+            "rows", False, (b, 2, nwb),
+            lambda bb, i, j: (bb, i * (ns - 1) + 1, j, 0), x0,
+        )
+    else:
+        o = call(
+            "rows", False, (b, 4, nwb),
+            lambda bb, i, j: (bb, i + (i // 2) * (ns - 2), j, 0), None,
+        )
+    o = call(
+        "cols", False, (b, ns - 2, 2),
+        lambda bb, i, j: (bb, i + 2, j * (nwb - 1), 0), o,
+    )
+    return call(
+        "int", True, (b, ns - 2, nwb - 2),
+        lambda bb, i, j: (bb, i + 2, j + 1, 0), o,
+    )
 
 
 @functools.partial(
