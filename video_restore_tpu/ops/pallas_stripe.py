@@ -219,6 +219,22 @@ def _npack_chunk_bytes() -> int:
         return 10 * 1024 * 1024
 
 
+def _nodycat_min() -> int:
+    """cin threshold at/above which the N-packed contraction skips the
+    dy-stack concat (ak build) and instead runs three direct-slice dots
+    (one per row tap, K = cin) summed in fp32 — trades the in-kernel ak
+    data movement (ROADMAP: part of the 79 -> ~100 TF/s gap) for 3x the
+    matmul count at a third of the K. RDB sources have cin of only
+    nf=64 / gc=32, so a single tap's K is small and contraction
+    occupancy drops — this is a measured-probe knob, not a default.
+    Default off (threshold inf); VRT_NODYCAT_MIN=64 enables for the
+    nf-wide sources (RDB s=0, SRVGG)."""
+    import os
+
+    v = os.environ.get("VRT_NODYCAT_MIN", "")
+    return int(v) if v.isdigit() else 1 << 30
+
+
 def _conv_prefix(a, w, out_dt=jnp.float32):
     """3x3 conv, column-aligned: (e, Wf, cin) x weights -> (e-2, Wf, cout)
     ``out_dt``; output row r/col j centered on input row r+1 / col j.
@@ -252,9 +268,31 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
         rc = max(8, _npack_chunk_bytes() // (wf * w.shape[1] * 4) // 8 * 8)
     else:
         rc = max(8, _npack_chunk_bytes() // (wf * w.shape[-1] * 4) // 8 * 8)
+    nodycat = npacked and cin >= _nodycat_min()
     outs = []
     for r0 in range(0, oh, rc):
         r1 = min(r0 + rc, oh)
+        if nodycat:
+            # dy-concat-free N-packed form: three direct window slices
+            # (no ak build) against the packed weight's dy row blocks,
+            # summed in fp32 — K = cin per dot (only selected for large
+            # cin where single-tap contraction occupancy stays high)
+            n = w.shape[1] // 3
+            p = None
+            for dy in range(3):
+                pd = lax.dot_general(
+                    a[r0 + dy : r1 + dy],
+                    w[dy * cin : (dy + 1) * cin],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = pd if p is None else p + pd
+            q = None
+            for dx in range(3):
+                part = _roll_w(p[:, :, dx * n : (dx + 1) * n], dx - 1)
+                q = part if q is None else q + part
+            outs.append(q)
+            continue
         ak = jnp.concatenate(
             [a[r0:r1], a[r0 + 1 : r1 + 1], a[r0 + 2 : r1 + 2]], axis=2
         )
