@@ -75,6 +75,37 @@ def test_sharded_enhanced_stack_runs(tiny_frames):
     assert out2.shape == out.shape
 
 
+def test_post_dt_bf16_matches_f32(tiny_frames, monkeypatch):
+    """VRT_POST_DT=bf16 (post stack stays in the model dtype after a
+    full-frame tile) matches the fp32 post stack within 1 u8 LSB on the
+    full enhanced+temporal step. Pins the f32-forced statistic
+    reductions (mdelta, luma hist) under a bf16 frame dtype."""
+    model = _tiny_model()
+    h, w = tiny_frames.shape[1:3]
+    grid = TileGrid.build(h, w, 0, 4, 2)  # full-frame: tile=0
+    assert grid.n_tiles == 1
+    # both runs use a bf16 model so the ONLY delta is the post stack's
+    # dtype (the knob is a no-op for an fp32 model output)
+    cfg = _cfg(
+        enhanced_mode=True, sharpen=0.3, color_enhance=True,
+        temporal=True, tile_size=0, precision="bf16",
+    )
+    ref = np.asarray(
+        ShardedUpscaler(model, grid, cfg, frame_mesh(8)).process_batch(
+            tiny_frames
+        )
+    )
+    monkeypatch.setenv("VRT_POST_DT", "bf16")
+    got = np.asarray(
+        ShardedUpscaler(model, grid, cfg, frame_mesh(8)).process_batch(
+            tiny_frames
+        )
+    )
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 0.01
+
+
 def test_temporal_carry_single_device_sequential(tiny_frames):
     """With one device, batch-to-batch temporal carry must chain exactly
     like one long sequence."""

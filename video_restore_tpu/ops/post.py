@@ -282,6 +282,16 @@ def unsharp_mask(
     to avoid amplifying noise."""
     import os
 
+    # VRT_POST_DT=bf16: stay in the input dtype end-to-end (halves the
+    # HBM traffic of every pass at 8K; the highpass is small-magnitude so
+    # bf16's relative error is absolute-tiny, and the final add's ~1 LSB
+    # wobble is ~66dB PSNR — far above the 45dB golden bar).
+    if os.environ.get("VRT_POST_DT") == "bf16" and x.dtype == jnp.bfloat16:
+        blur = gaussian_blur(x, sigma, radius)
+        hp = x - blur
+        if threshold > 0:
+            hp = jnp.where(jnp.abs(hp) >= threshold, hp, 0.0)
+        return jnp.clip(x + amount * hp, 0.0, 1.0)
     xf = x.astype(jnp.float32)
     # VRT_POST_BF16=1: run the blur (the HBM-heaviest post op at 8K) in
     # bf16. The highpass difference and the final add stay fp32; the

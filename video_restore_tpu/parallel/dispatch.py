@@ -106,8 +106,12 @@ def _luma_hist(x: jax.Array) -> jax.Array:
         jnp.clip(luma, 0.0, 1.0) * _HIST_BINS - 0.5, 0.0, _HIST_BINS - 1.0
     )  # edge clamp: boundary pixels keep full mass in the edge bin
     centers = jnp.arange(_HIST_BINS, dtype=jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - centers))
-    return w.mean(axis=(-3, -2))  # (..., BINS), sums to ~1
+    w = jnp.maximum(
+        0.0, 1.0 - jnp.abs(pos.astype(jnp.float32)[..., None] - centers)
+    )
+    # f32 accumulation regardless of the frame dtype (a bf16 mean over
+    # millions of elements drops the per-pixel increments entirely)
+    return w.mean(axis=(-3, -2), dtype=jnp.float32)
 
 
 def restore_step(
@@ -157,7 +161,10 @@ def restore_step(
         b = y.shape[0]
         k = b // n_shards
         yc = y.reshape((n_shards, k) + y.shape[1:])
-        prev = carry["frame"].astype(jnp.float32) * (1.0 / 255.0)
+        # EMA blends run in y's dtype (bf16 under VRT_POST_DT=bf16 —
+        # halves the 8K HBM traffic); the frame-statistic reductions
+        # below force f32 accumulation regardless
+        prev = carry["frame"].astype(y.dtype) * (1.0 / 255.0)
         # scan over the per-device time axis; devices advance in lockstep
         yt = jnp.moveaxis(yc, 1, 0)  # (k, D, Hs, Ws, C)
         # Step 0's carry is gap0 frames old (1 when there is a single carry
@@ -192,10 +199,16 @@ def restore_step(
             diff = jnp.abs(fr - cf).mean(axis=-1, keepdims=True)
             # displacement-invariant gate: a gap-frames-old carry must be
             # gap times more static to blend at the same weight
-            w = step_cfg.temporal_strength * jnp.exp(-diff * (gap / 0.05))
-            w = w * valid[:, None, None, None]
-            # scene cut: pass the new frame through untouched
-            mdelta = diff.mean(axis=(1, 2, 3), keepdims=True)
+            w = step_cfg.temporal_strength * jnp.exp(
+                -diff * (gap.astype(fr.dtype) / 0.05)
+            )
+            w = w * valid.astype(fr.dtype)[:, None, None, None]
+            # scene cut: pass the new frame through untouched. The
+            # whole-frame mean MUST accumulate in f32 (a bf16 reduction
+            # over 33M elements loses the increments entirely)
+            mdelta = diff.mean(
+                axis=(1, 2, 3), keepdims=True, dtype=jnp.float32
+            ).astype(fr.dtype)
             if use_hist:
                 # total-variation distance between luma histograms: ~0 for
                 # pans/zooms of the same content, ~1 across a hard cut.
