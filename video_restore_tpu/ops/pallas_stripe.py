@@ -1037,18 +1037,39 @@ def _stripe_rc_default(bh: int) -> int | None:
 
 
 def _pick_bh_bw(
-    h: int, w: int, anchor: int = _VMEM_ROWS_WF
+    h: int,
+    w: int,
+    anchor: int = _VMEM_ROWS_WF,
+    chunked: bool = False,
 ) -> Tuple[int, int]:
     """Choose (bh, bw) minimizing total MAC overhead
-    ((bh+10)/bh * (bw+16)/bw * hp*wp/(h*w)) subject to the VMEM anchor
-    (rows-in-flight * window width) and nwb >= 2."""
+    ((bh+10)/bh * (bw+16)/bw * hp*wp/(h*w)) subject to a VMEM constraint
+    and nwb >= 2.
+
+    ``chunked=False``: the round-3 monolithic-accumulator model — the
+    fp32 prefix accumulator spans the window height, so rows-in-flight *
+    window width is bounded by ``anchor`` (empirical: bh=135 at bw=240).
+
+    ``chunked=True`` (round 4): the row-chunked stage bounds the fp32
+    live set at O(rc), so VMEM is set by the bf16 window/output buffers:
+    double-buffered (bh+10)x(bw+16)x128 windows + pipelined bh x bw x 128
+    output blocks + ~35MB of chunked temporaries. Constraint:
+    (bh+10)*(bw+16) + bh*bw <= 180_000 half-pixel units (512B each,
+    ~92MB + slack under the 127MB limit)."""
     best = None
     for bw in range(64, 513, 8):
         nwb = -(-w // bw)
         if nwb < 2:
             continue
         bwf = bw + 2 * _MW
-        bh_max = anchor // bwf - 2 * _HALO
+        if chunked:
+            bh_max = 16
+            for bh in range(16, 513):
+                if (bh + 2 * _HALO) * bwf + bh * bw > 180_000:
+                    break
+                bh_max = bh
+        else:
+            bh_max = anchor // bwf - 2 * _HALO
         if bh_max < 16:
             continue
         cands = [min(bh_max, 512)]

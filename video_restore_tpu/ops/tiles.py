@@ -248,10 +248,16 @@ def auto_full_frame(
                 d = jax.devices()[0]
                 stats = d.memory_stats() or {}
                 hbm_bytes = stats.get("bytes_limit")
+                if hbm_bytes is None and d.platform == "tpu":
+                    # some TPU runtimes (the axon tunnel among them)
+                    # report no memory stats; every deployed TPU
+                    # generation has >= 16 GiB HBM per chip, so that is
+                    # a safe floor for a real TPU
+                    hbm_bytes = 16 << 30
             except Exception:
                 hbm_bytes = None
         if hbm_bytes is None:
-            # runtime doesn't report an HBM limit (and no VRT_HBM_BYTES
+            # non-TPU runtime without an HBM limit (and no VRT_HBM_BYTES
             # override): keep tiling rather than auto-upgrading to a
             # full-frame program that may not fit
             return False
