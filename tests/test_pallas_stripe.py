@@ -407,6 +407,51 @@ def test_tail_fused_q_parity(rng):
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_tail_fused_raw_parity(rng):
+    """tail_fused_raw (tail DMAs up1's raw lane-paired output, unpacks
+    in VMEM) == the pre-padded chain (up1_raw_to_tail_input + tail_fused)
+    — the round-4 form that deletes the ~2.1GB/frame pre-pad rewrite."""
+    from video_restore_tpu.ops.pallas_tail import (
+        tail_fused,
+        tail_fused_raw,
+        up1_fused,
+        up1_raw_to_tail_input,
+    )
+
+    nf, h1, w1 = 16, 24, 22
+    x1 = jnp.asarray(
+        (rng.random((1, h1, w1, nf)) - 0.5).astype(np.float32)
+    )
+    wu1 = jnp.asarray(
+        (rng.random((3, 3, nf, nf)) - 0.5).astype(np.float32) * 0.4
+    )
+    bu1 = jnp.asarray(rng.random((nf,)).astype(np.float32) * 0.1)
+    wu2 = jnp.asarray(
+        (rng.random((3, 3, nf, nf)) - 0.5).astype(np.float32) * 0.4
+    )
+    bu2 = jnp.asarray(rng.random((nf,)).astype(np.float32) * 0.1)
+    whr = jnp.asarray(
+        (rng.random((3, 3, nf, nf)) - 0.5).astype(np.float32) * 0.4
+    )
+    bhr = jnp.asarray(rng.random((nf,)).astype(np.float32) * 0.1)
+    wl = jnp.asarray(
+        (rng.random((3, 3, nf, 3)) - 0.5).astype(np.float32) * 0.4
+    )
+    bl = jnp.asarray(rng.random((3,)).astype(np.float32) * 0.1)
+
+    xq = up1_fused(x1, wu1, bu1, masked=True, interpret=True)
+    h2, w2 = 2 * h1, 2 * w1
+    tw = (wu2, bu2, whr, bhr, wl, bl)
+    ref = tail_fused(
+        up1_raw_to_tail_input(xq, h2, w2), *tw,
+        pre_padded=True, h2=h2, w2=w2, interpret=True,
+    )
+    got = tail_fused_raw(xq, *tw, h2=h2, w2=w2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_full_model_raw_up1_chain(rng, monkeypatch):
     """Production default tail chain (up1_fused masked raw output + one
     fused crop+pad + tail_fused pre_padded, interpret-mocked) == naive."""

@@ -700,8 +700,11 @@ def _apply(
                 # pre-padded input — vs ~20 ms/frame of relayout glue
                 # traced in the two-kernel chain at full frame. The
                 # layout invariant lives in pallas_tail next to the
-                # kernels.
+                # kernels. VRT_TAIL_RAW=1 (round 4): skip even that pad —
+                # the tail kernel DMAs the raw (b, o)-paired output
+                # directly and unpacks lanes in VMEM.
                 from video_restore_tpu.ops.pallas_tail import (
+                    tail_geom,
                     up1_raw_to_tail_input,
                 )
 
@@ -712,6 +715,21 @@ def _apply(
                     masked=True,
                 )
                 h2t, w2t = 2 * fh2, 2 * fw2
+                if os.environ.get("VRT_TAIL_RAW") == "1":
+                    from video_restore_tpu.ops.pallas_tail import (
+                        tail_fused_raw,
+                    )
+
+                    bh2t = tail_geom(h2t, w2t, feat.shape[-1])[0]
+                    if xq.shape[1] >= bh2t + 4:  # raw rows cover a window
+                        return tail_fused_raw(
+                            xq,
+                            params["conv_up2"]["w"], params["conv_up2"]["b"],
+                            params["conv_hr"]["w"], params["conv_hr"]["b"],
+                            params["conv_last"]["w"],
+                            params["conv_last"]["b"],
+                            h2=h2t, w2=w2t,
+                        )
                 return tail_fused(
                     up1_raw_to_tail_input(xq, h2t, w2t),
                     params["conv_up2"]["w"], params["conv_up2"]["b"],

@@ -167,6 +167,18 @@ def _tail_kernel(
 
     dma(m % 2, m).wait()
     x = xblk[m % 2][:, :, :nf]
+    out_ref[0] = _tail_core(
+        x, si, ku2, khr, klast, bu2, bhr, blast,
+        bh2=bh2, h2=h2, w2=w2, wf2=wf2, rc=rc,
+    )
+
+
+def _tail_core(
+    x, si, ku2, khr, klast, bu2, bhr, blast, *, bh2, h2, w2, wf2, rc
+):
+    """The tail's three fused convs on one stripe window x
+    (bh2 + 2*_HALO2, wf2, nf); window row 0 is coarse frame row
+    si*bh2 - 1. Returns the (2*bh2, w2, 6) W-sd RGB block."""
     dt = x.dtype
     c0 = si * bh2 - 1  # coarse frame row of y2 row 0
 
@@ -198,7 +210,162 @@ def _tail_kernel(
         return (q + blast[0]).astype(dt)
 
     rgb = _conv_chunked(hr, klast[:], (-1, 0, 1), post_last, rc)
-    out_ref[0] = rgb[:, _PADL : _PADL + w2, :]
+    return rgb[:, _PADL : _PADL + w2, :]
+
+
+def _tail_raw_kernel(
+    xq_ref,  # (B, hq, Wf1u, 2*nf) ANY/HBM — up1_fused(masked=True) raw
+    ku2, khr, klast, bu2, bhr, blast,
+    out_ref,  # (1, 2*bh2, W2, 6) VMEM block
+    xblk,  # scratch (2, bh2 + 2*_HALO2, Wf1u, 2*nf) double-buffer
+    sem,
+    *,
+    bh2: int,
+    h2: int,
+    w2: int,
+    wf2: int,
+    wf1u: int,
+    nf: int,
+    nstripes: int,
+    nb: int,
+    rc: int,
+    hq: int,
+):
+    """tail_fused reading up1_fused's RAW (b, o)-lane-paired output
+    directly (round 4): no pre-padded 128-lane tail input exists in HBM
+    at all — the lax.pad that built it rewrote a (B, hp2+4, wf2, 128)
+    array (~2.1GB bf16 at 8K) every frame. The window is DMA'd in the
+    raw layout (128-lane aligned), the lane-pair -> fine-column unpack
+    happens in VMEM, and the raw frame's column origin (fine col f =
+    tail col f + _PADL, from up1's doubled _PADL margin) is absorbed by
+    a static column slice. Row halos: the raw array has no _HALO2 pad
+    rows, so the first/last stripes clamp the DMA and shift in-window
+    (rows outside [0, h2) are exact zeros by up1's mask, matching the
+    pre-padded form)."""
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    m = bi * nstripes + si
+    he = bh2 + 2 * _HALO2
+
+    def dma(slot, idx):
+        bb = idx // nstripes
+        ii = idx % nstripes
+        a = jnp.clip(ii * bh2 - _HALO2, 0, hq - he)
+        return pltpu.make_async_copy(
+            xq_ref.at[bb, pl.ds(a, he)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(m == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(m + 1 < nb * nstripes)
+    def _():
+        dma((m + 1) % 2, m + 1).start()
+
+    dma(m % 2, m).wait()
+
+    # row fixups for the clamped edge windows (cheap leading-dim concats)
+    @pl.when(si == 0)
+    def _():
+        win = xblk[m % 2]
+        z = jnp.zeros((_HALO2,) + win.shape[1:], win.dtype)
+        xblk[m % 2] = jnp.concatenate([z, win[: he - _HALO2]], axis=0)
+
+    shift_last = max(0, (nstripes - 1) * bh2 - _HALO2 - (hq - he))
+    if shift_last:
+        @pl.when(si == nstripes - 1)
+        def _():
+            win = xblk[m % 2]
+            z = jnp.zeros((shift_last,) + win.shape[1:], win.dtype)
+            xblk[m % 2] = jnp.concatenate([win[shift_last:], z], axis=0)
+
+    # lane-pair -> fine-column unpack, then the tail's column window:
+    # raw coarse col j holds fine cols {2j, 2j+1} of up1's padded fine
+    # grid whose col f is tail-input col f - _PADL
+    win = xblk[m % 2]
+    a0 = win[:, :, :nf]
+    a1 = win[:, :, nf : 2 * nf]
+    fine = jnp.stack([a0, a1], axis=2).reshape(he, 2 * wf1u, nf)
+    x = fine[:, _PADL : _PADL + wf2, :]
+    out_ref[0] = _tail_core(
+        x, si, ku2, khr, klast, bu2, bhr, blast,
+        bh2=bh2, h2=h2, w2=w2, wf2=wf2, rc=rc,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h2", "w2", "block_h", "row_chunk", "interpret"),
+)
+def tail_fused_raw(
+    xq: jax.Array,
+    w_up2: jax.Array,
+    b_up2: jax.Array,
+    w_hr: jax.Array,
+    b_hr: jax.Array,
+    w_last: jax.Array,
+    b_last: jax.Array,
+    *,
+    h2: int,
+    w2: int,
+    block_h: int | None = None,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """tail_fused consuming up1_fused(masked=True)'s raw output directly
+    (no up1_raw_to_tail_input pad): xq (B, hq, Wf1u, 2*nf) -> RGB
+    (B, 2*h2, 2*w2, 3). Exact same math as the pre-padded chain."""
+    from video_restore_tpu.ops.conv import up_phase_kernel_pm
+    from video_restore_tpu.ops.pallas_stripe import pack_prefix_weights
+
+    b, hq, wf1u, lanes = xq.shape
+    nf = lanes // 2
+    bh2, wf2, rc, hp2, _ = tail_geom(h2, w2, nf, block_h, row_chunk)
+    if _PADL + wf2 > 2 * wf1u:
+        raise ValueError(
+            f"raw width {wf1u} too narrow for tail width {wf2}"
+        )
+    nstripes = hp2 // bh2
+
+    ku2 = pack_prefix_weights(
+        [fold_dy(up_phase_kernel_pm(w_up2))], pack=(0,)
+    )[0].astype(xq.dtype)
+    khr = wsd_kernel(w_hr).astype(xq.dtype)
+    klast = wsd_kernel(w_last).astype(xq.dtype)
+    bu2 = jnp.tile(b_up2, 4).reshape(1, 1, -1).astype(jnp.float32)
+    bhr = jnp.tile(b_hr, 2).reshape(1, 1, -1).astype(jnp.float32)
+    blast = jnp.tile(b_last, 2).reshape(1, 1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _tail_raw_kernel,
+        bh2=bh2, h2=h2, w2=w2, wf2=wf2, wf1u=wf1u, nf=nf,
+        nstripes=nstripes, nb=b, rc=rc, hq=hq,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, 2 * bh2, w2, 6), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * hp2, w2, 6), xq.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh2 + 2 * _HALO2, wf1u, 2 * nf), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq, ku2, khr, klast, bu2, bhr, blast)
+    out = out[:, : 2 * h2]
+    return out.reshape(b, 2 * h2, 2 * w2, 3)
 
 
 def tail_geom(
