@@ -78,6 +78,29 @@ def test_unsharp_increases_edge_contrast():
     assert grad_sharp > grad_soft * 1.2
 
 
+def test_unsharp_fused_matches_xla(rng):
+    """The single-pass Pallas unsharp (ops/pallas_post.py, interpret
+    mode) == ops.post.unsharp_mask including the replicate-pad edges,
+    across stripe boundaries, a threshold, and a non-divisible height."""
+    from video_restore_tpu.ops.pallas_post import unsharp_fused
+
+    # unjitted reference: the jitted wrapper treats `threshold` as traced
+    # (its `if threshold > 0` only works for the Python default)
+    ref_fn = unsharp_mask.__wrapped__
+    for h, w, bh, thr in ((40, 18, 8, 0.0), (37, 12, 16, 0.02)):
+        x = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
+        ref = np.asarray(
+            ref_fn(x, amount=0.7, sigma=1.5, radius=4, threshold=thr)
+        )
+        got = np.asarray(
+            unsharp_fused(
+                x, amount=0.7, sigma=1.5, radius=4, threshold=thr,
+                block_h=bh, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_unsharp_zero_amount_is_identity(rng):
     x = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
     out = np.asarray(unsharp_mask(x, amount=0.0))

@@ -155,7 +155,21 @@ def restore_step(
     if step_cfg.color_enhance and not step_cfg.clahe_lr:
         y = clahe(y, step_cfg.clahe_clip)
     if step_cfg.sharpen > 0:
-        y = unsharp_mask(y, amount=step_cfg.sharpen, sigma=1.5, radius=4)
+        import os as _os
+
+        if _os.environ.get("VRT_UNSHARP_KERNEL") == "1":
+            # fused single-pass stripe kernel: one HBM read + one write
+            # vs XLA's padded-intermediate round-trips (~11 ms/frame at
+            # 8K fp32 traced in round 3)
+            from video_restore_tpu.ops.pallas_post import unsharp_fused
+
+            y = unsharp_fused(
+                y, amount=step_cfg.sharpen, sigma=1.5, radius=4
+            )
+        else:
+            y = unsharp_mask(
+                y, amount=step_cfg.sharpen, sigma=1.5, radius=4
+            )
 
     if step_cfg.temporal:
         b = y.shape[0]
