@@ -87,7 +87,9 @@ def test_unsharp_fused_matches_xla(rng):
     # unjitted reference: the jitted wrapper treats `threshold` as traced
     # (its `if threshold > 0` only works for the Python default)
     ref_fn = unsharp_mask.__wrapped__
-    for h, w, bh, thr in ((40, 18, 8, 0.0), (37, 12, 16, 0.02)):
+    # heights multiple of 8 (the kernel's DMA alignment gate); 48/16
+    # exercises the last-stripe bottom-replicate shift (hp == h, shift 8)
+    for h, w, bh, thr in ((40, 18, 8, 0.0), (48, 12, 16, 0.02)):
         x = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
         ref = np.asarray(
             ref_fn(x, amount=0.7, sigma=1.5, radius=4, threshold=thr)

@@ -49,12 +49,15 @@ def _unsharp_kernel(
     bi = pl.program_id(0)
     si = pl.program_id(1)
     m = bi * nstripes + si
-    he = bh + 2 * radius
+    # 8-row margins (not `radius`): Mosaic requires dynamic sublane-dim
+    # DMA offsets provably divisible by the (8, 128) tiling, so windows
+    # start at si*bh - 8 (8 | bh) and output row 0 sits at window row 8
+    he = bh + 16
 
     def dma(slot, idx):
         bb = idx // nstripes
         ii = idx % nstripes
-        a = jnp.clip(ii * bh - radius, 0, h - he)
+        a = pl.multiple_of(jnp.clip(ii * bh - 8, 0, h - he), 8)
         return pltpu.make_async_copy(
             x_ref.at[bb, pl.ds(a, he)], xblk.at[slot], sem.at[slot]
         )
@@ -69,20 +72,18 @@ def _unsharp_kernel(
 
     dma(m % 2, m).wait()
 
-    # H-edge replicate fixups: the first/last stripes' clamped DMA lands
-    # the frame edge mid-window; shift and replicate the edge row, which
-    # reproduces jnp.pad(mode="edge") exactly. (Middle stripes of a
-    # clamped tail window shift by `si*bh - radius - (h - he)` — only the
-    # last stripe can clamp because bh divides hp and hp - bh >= ... the
-    # wrapper guarantees h >= he so at most one stripe clamps per edge.)
+    # H-edge replicate fixups: a clamped DMA lands the frame edge
+    # mid-window; shift and replicate the edge row, reproducing
+    # jnp.pad(mode="edge") exactly. Only the first/last stripes clamp
+    # (8 | h and 8 | bh make every interior window start in-range).
     @pl.when(si == 0)
     def _():
         win = xblk[m % 2]
-        top = jnp.broadcast_to(win[:1], (radius,) + win.shape[1:])
-        xblk[m % 2] = jnp.concatenate([top, win[: he - radius]], axis=0)
+        top = jnp.broadcast_to(win[:1], (8,) + win.shape[1:])
+        xblk[m % 2] = jnp.concatenate([top, win[: he - 8]], axis=0)
 
-    shift_last = max(0, (nstripes - 1) * bh - radius - (h - he))
-    if shift_last:
+    shift_last = (nstripes - 1) * bh - 8 - (h - he)  # = hp - h + 8 >= 8
+    if nstripes > 1 and shift_last > 0:
         @pl.when(si == nstripes - 1)
         def _():
             win = xblk[m % 2]
@@ -97,10 +98,11 @@ def _unsharp_kernel(
     dt = x.dtype
     xf = x.astype(jnp.float32)
 
-    # vertical pass (leading-dim slices): rows [radius, radius+bh)
+    # vertical pass (leading-dim slices): output rows sit at window rows
+    # [8, 8 + bh); tap i reads rows [8 - radius + i, ...)
     v = None
     for i, ki in enumerate(taps):
-        t = xf[i : i + bh] * ki
+        t = xf[8 - radius + i : 8 - radius + i + bh] * ki
         v = t if v is None else v + t
 
     # horizontal pass with W-edge replicate: pad the row vector by
@@ -113,7 +115,7 @@ def _unsharp_kernel(
         t = vp[:, i * c : i * c + wc] * ki
         blur = t if blur is None else blur + t
 
-    center = xf[radius : radius + bh]
+    center = xf[8 : 8 + bh]
     hp = center - blur
     if threshold > 0:
         hp = jnp.where(jnp.abs(hp) >= threshold, hp, 0.0)
@@ -142,15 +144,12 @@ def unsharp_fused(
     b, h, w, c = x.shape
     wc = w * c
     bh = block_h or max(8, min(128, (4 << 20) // (wc * 4) // 8 * 8))
-    # only the LAST stripe's window may clamp at the bottom: need the
-    # second-to-last window ((nstripes-1)*bh + radius rows) inside the
-    # frame, i.e. h % bh == 0 or h % bh >= radius
-    while bh > 8 and 0 < h % bh < radius:
-        bh -= 8
     hp_ = h + (bh - h % bh) % bh
     nstripes = hp_ // bh
-    he = bh + 2 * radius
-    if h < he:  # tiny frames: the XLA form is fine there
+    he = bh + 16
+    if h < he or h % 8 or radius > 8:
+        # tiny frames / unaligned heights / huge radii: the XLA form
+        # (8-row DMA margins need 8 | h; video heights always qualify)
         from video_restore_tpu.ops.post import unsharp_mask
 
         return unsharp_mask(

@@ -157,7 +157,12 @@ def restore_step(
     if step_cfg.sharpen > 0:
         import os as _os
 
-        if _os.environ.get("VRT_UNSHARP_KERNEL") == "1":
+        _uk = _os.environ.get("VRT_UNSHARP_KERNEL") == "1"
+        try:
+            _uk = _uk and jax.default_backend() == "tpu"
+        except Exception:
+            _uk = False
+        if _uk:
             # fused single-pass stripe kernel: one HBM read + one write
             # vs XLA's padded-intermediate round-trips (~11 ms/frame at
             # 8K fp32 traced in round 3)
