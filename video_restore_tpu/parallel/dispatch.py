@@ -157,15 +157,16 @@ def restore_step(
     if step_cfg.sharpen > 0:
         import os as _os
 
-        _uk = _os.environ.get("VRT_UNSHARP_KERNEL") == "1"
+        _uk = _os.environ.get("VRT_UNSHARP_KERNEL", "1") != "0"
         try:
             _uk = _uk and jax.default_backend() == "tpu"
         except Exception:
             _uk = False
         if _uk:
             # fused single-pass stripe kernel: one HBM read + one write
-            # vs XLA's padded-intermediate round-trips (~11 ms/frame at
-            # 8K fp32 traced in round 3)
+            # vs XLA's padded-intermediate round-trips. Isolated 8K A/B
+            # on v5e: 26.1 -> 7.6 ms/frame fp32 (3.4x), 7.1 ms bf16.
+            # Production default on TPU; VRT_UNSHARP_KERNEL=0 opts out.
             from video_restore_tpu.ops.pallas_post import unsharp_fused
 
             y = unsharp_fused(
