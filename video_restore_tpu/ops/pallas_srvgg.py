@@ -202,9 +202,13 @@ def _pick_bh_bw_srvgg(
     h: int, w: int, group: int, mw: int = _MWG
 ) -> "tuple[int, int]":
     """(bh, bw) minimizing the halo/margin MAC overhead
-    (bh+2G)/bh * (bw+2mw)/bw * padded/frame under the VMEM constraint
-    (window + output block rows-in-flight; 128-lane bf16 double-buffered
-    windows + pipelined output blocks + ~30MB chunked temporaries)."""
+    (bh+2G)/bh * (bw+2mw)/bw * padded/frame under two constraints:
+    VMEM (window + output block rows-in-flight; 128-lane bf16
+    double-buffered windows + pipelined output blocks + ~30MB chunked
+    temporaries) and the measured Mosaic compile cliff — windows beyond
+    ~58k px hang the toolchain's server-side compile >40 min
+    (BENCH_NOTES round 4: SRVGG 232x416 and RDB 280x256 both timed out;
+    226x256-class windows compile in ~10-20 min)."""
     best = None
     for bw in range(64, 521, 8):
         nwb = -(-w // bw)
@@ -213,6 +217,10 @@ def _pick_bh_bw_srvgg(
         bwf = bw + 2 * mw
         for bh in range(16, 513, 8):
             if (bh + 2 * group) * bwf + bh * bw > 190_000:
+                break
+            if (bh + 2 * group) * bwf > 48_000:
+                # 48k: ~17% under the measured hang threshold — a
+                # config-4 production compile must not gamble an hour
                 break
             hp = -(-h // bh) * bh
             cost = (

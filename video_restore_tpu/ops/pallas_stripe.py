@@ -1065,7 +1065,13 @@ def _pick_bh_bw(
         if chunked:
             bh_max = 16
             for bh in range(16, 513):
-                if (bh + 2 * _HALO) * bwf + bh * bw > 180_000:
+                # second bound: the measured Mosaic compile cliff —
+                # windows beyond ~58k px hang the server-side compile
+                # (BENCH_NOTES round 4)
+                if (
+                    (bh + 2 * _HALO) * bwf + bh * bw > 180_000
+                    or (bh + 2 * _HALO) * bwf > 58_000
+                ):
                     break
                 bh_max = bh
         else:
