@@ -762,6 +762,26 @@ def test_rdb_stripe2d_split_launches(rng):
     g = np.asarray(rgot)
     assert np.all(g[:, :bh] == 0) and np.all(g[:, bh + h :] == 0)
     assert np.all(g[:, :, w:] == 0)
+    # res + row-chunked accumulator (the production default: the
+    # unchunked res split kernel ran 984KB over the VMEM limit at
+    # flagship geometry, so the res call row-chunks — must stay exact).
+    # rc floor is 16, so use a taller-block geometry where chunking
+    # actually engages (bh=32 > rc=16).
+    h2, bh2 = 128, 32  # ns=4 with bw=24, nwb=3 — interior exists
+    assert stripe2d_split_ok(h2, w, bh2, bw)
+    x2 = jnp.asarray(rng.random((b, h2, w, nf)).astype(np.float32) - 0.5)
+    kw2 = dict(
+        frame_h=h2, frame_w=w, block_h=bh2, block_w=bw, interpret=True
+    )
+    xp2 = pad_stripe2d_entry(x2, block_h=bh2, block_w=bw)
+    ref2 = rdb_stripe2d_padded(xp2, ws1, bs1, **kw2)
+    rref2 = rdb_res_stripe2d_padded(ref2, xp2, ws3, bs3, **kw2)
+    rgot_rc = rdb_stripe2d_split(
+        ref2, ws3, bs3, x0=xp2, res=True, row_chunk=16, **kw2
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgot_rc), np.asarray(rref2), rtol=1e-6, atol=1e-6
+    )
 
 
 def test_rdb_stripe2d_packed_weights(rng):

@@ -400,9 +400,21 @@ def _rrdb_apply_stripe2d(
     if stripe2d_split_ok(h, w, bh, bw):
         out = rdb_stripe2d_split(xp, tp["rdb1"]["w"], tp["rdb1"]["b"], **kw)
         out = rdb_stripe2d_split(out, tp["rdb2"]["w"], tp["rdb2"]["b"], **kw)
-        return rdb_stripe2d_split(
-            out, tp["rdb3"]["w"], tp["rdb3"]["b"], x0=xp, res=True, **kw
-        )
+        # The res variant's x0 scratch block (+~8MB) pushed the unchunked
+        # split kernel 984KB over the 127MB VMEM limit at 135x240 in the
+        # full flagship program (r4 measured; the isolated A/B only ran
+        # the non-res form). Row-chunking the fp32 accumulator is free at
+        # equal geometry (BENCH_NOTES 72.1 vs 71.9 TF/s), so the res call
+        # defaults to rc=64. VRT_SPLIT_RES=0 falls back to the monolithic
+        # res kernel (round-3 production); VRT_SPLIT_RES=<rc> overrides.
+        res_mode = os.environ.get("VRT_SPLIT_RES", "64")
+        if res_mode != "0":
+            return rdb_stripe2d_split(
+                out, tp["rdb3"]["w"], tp["rdb3"]["b"], x0=xp, res=True,
+                row_chunk=int(res_mode), **kw
+            )
+        return rdb_res_stripe2d_padded(out, xp, tp["rdb3"]["w"],
+                                       tp["rdb3"]["b"], **kw)
     out = rdb_stripe2d_padded(xp, tp["rdb1"]["w"], tp["rdb1"]["b"], **kw)
     out = rdb_stripe2d_padded(out, tp["rdb2"]["w"], tp["rdb2"]["b"], **kw)
     return rdb_res_stripe2d_padded(
