@@ -463,7 +463,10 @@ def test_full_model_raw_up1_chain(rng, monkeypatch):
     monkeypatch.setenv("VRT_TAIL_KERNEL", "1")
     monkeypatch.setenv("VRT_UP1_RAW", "1")
 
-    origs = {n: getattr(pt, n) for n in ("up1_fused", "tail_fused")}
+    origs = {
+        n: getattr(pt, n)
+        for n in ("up1_fused", "tail_fused", "tail_fused_raw")
+    }
 
     def wrap(name):
         def f(*a, **kw):
@@ -487,7 +490,11 @@ def test_full_model_raw_up1_chain(rng, monkeypatch):
         _apply.clear_cache()
         with mock.patch.object(
             pt, "up1_fused", wrap("up1_fused")
-        ), mock.patch.object(pt, "tail_fused", wrap("tail_fused")):
+        ), mock.patch.object(
+            pt, "tail_fused", wrap("tail_fused")
+        ), mock.patch.object(
+            pt, "tail_fused_raw", wrap("tail_fused_raw")
+        ):
             got = np.asarray(
                 apply_rrdbnet(params, x, spec, use_pallas=False)
             )

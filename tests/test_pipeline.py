@@ -68,6 +68,29 @@ def test_full_frame_auto_upgrade(monkeypatch):
     assert grid2.n_tiles > 1
 
 
+def test_full_frame_auto_upgrade_srvgg(monkeypatch):
+    """Round 4: SRVGG models qualify for the full-frame auto-upgrade too
+    (the 2D-blocked srvgg_stripe2d_padded kernel removed the bh<=16
+    full-width VMEM ceiling that kept SRVGG tiled)."""
+    cfg = _cfg(full_frame="auto")  # model_name=RealESRGAN_x4_v3 (SRVGG)
+    r = VideoRestorer(cfg, model=_tiny_model(scale=4))
+    monkeypatch.setenv("VRT_SRVGG_STRIPE", "1")  # force the TPU gate
+    monkeypatch.setenv("VRT_HBM_BYTES", str(16 << 30))
+    import video_restore_tpu.pipeline.runner as rn
+
+    monkeypatch.setattr(
+        rn, "ShardedUpscaler",
+        lambda m, grid, c, mesh, **kw: grid,
+    )
+    grid = r._upscaler_for(24, 32)
+    assert grid.n_tiles == 1  # upgraded to full-frame
+    # stripe gate off -> stays tiled
+    monkeypatch.setenv("VRT_SRVGG_STRIPE", "0")
+    r2 = VideoRestorer(_cfg(full_frame="auto"), model=_tiny_model(scale=4))
+    grid2 = r2._upscaler_for(24, 32)
+    assert grid2.n_tiles > 1
+
+
 def test_end_to_end_npz(tmp_path, tiny_frames):
     src = tmp_path / "in.npz"
     dst = tmp_path / "out.npz"

@@ -727,13 +727,23 @@ def _apply(
                     masked=True,
                 )
                 h2t, w2t = 2 * fh2, 2 * fw2
-                if os.environ.get("VRT_TAIL_RAW") == "1":
+                if os.environ.get("VRT_TAIL_RAW", "1") != "0":
+                    # default since round 4: measured 1.075 -> 1.089
+                    # fps/chip on the flagship (deletes the ~2.1GB/frame
+                    # pre-pad rewrite); geometry guard below falls back
+                    # to the single-pad chain when raw rows don't cover
+                    # the stripe grid
                     from video_restore_tpu.ops.pallas_tail import (
                         tail_fused_raw,
                     )
 
-                    bh2t = tail_geom(h2t, w2t, feat.shape[-1])[0]
-                    if xq.shape[1] >= bh2t + 4:  # raw rows cover a window
+                    bh2t, _, _, hp2t, _ = tail_geom(
+                        h2t, w2t, feat.shape[-1]
+                    )
+                    hq = xq.shape[1]
+                    # the block-pipelined raw kernel needs the raw rows
+                    # to cover the stripe grid (tail_fused_raw's guard)
+                    if hp2t <= hq and bh2t % 2 == 0 and hq % 2 == 0:
                         return tail_fused_raw(
                             xq,
                             params["conv_up2"]["w"], params["conv_up2"]["b"],

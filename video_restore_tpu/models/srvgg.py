@@ -66,11 +66,16 @@ def init_srvgg(key: jax.Array, spec: SRVGGSpec, dtype=jnp.float32) -> Params:
 def default_use_srvgg_stripe() -> bool:
     """Fused conv+PReLU stripe kernel for the SRVGG body — production
     default on TPU (the XLA scan of 32 separate 64-lane convs measured
-    ~18 TF/s effective); opt out with VRT_SRVGG_STRIPE=0."""
+    ~18 TF/s effective); opt out with VRT_SRVGG_STRIPE=0. =1 forces it
+    on non-TPU backends (interpret-mode validation, mirrors
+    rrdbnet.default_use_stripe)."""
     import os
 
-    if os.environ.get("VRT_SRVGG_STRIPE") == "0":
+    v = os.environ.get("VRT_SRVGG_STRIPE")
+    if v == "0":
         return False
+    if v == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:

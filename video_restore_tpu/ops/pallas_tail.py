@@ -214,82 +214,45 @@ def _tail_core(
 
 
 def _tail_raw_kernel(
-    xq_ref,  # (B, hq, Wf1u, 2*nf) ANY/HBM — up1_fused(masked=True) raw
+    xc_ref,  # (1, bh2, 2*Wf1u, nf) VMEM block — stripe body rows
+    xt_ref,  # (1, _HALO2, 2*Wf1u, nf) VMEM block — 2 rows above
+    xb_ref,  # (1, _HALO2, 2*Wf1u, nf) VMEM block — 2 rows below
     ku2, khr, klast, bu2, bhr, blast,
     out_ref,  # (1, 2*bh2, W2, 6) VMEM block
-    xblk,  # scratch (2, bh2 + 2*_HALO2, Wf1u, 2*nf) double-buffer
-    sem,
     *,
     bh2: int,
     h2: int,
     w2: int,
     wf2: int,
-    wf1u: int,
     nf: int,
     nstripes: int,
-    nb: int,
     rc: int,
-    hq: int,
 ):
-    """tail_fused reading up1_fused's RAW (b, o)-lane-paired output
-    directly (round 4): no pre-padded 128-lane tail input exists in HBM
-    at all — the lax.pad that built it rewrote a (B, hp2+4, wf2, 128)
-    array (~2.1GB bf16 at 8K) every frame. The window is DMA'd in the
-    raw layout (128-lane aligned), the lane-pair -> fine-column unpack
-    happens in VMEM, and the raw frame's column origin (fine col f =
-    tail col f + _PADL, from up1's doubled _PADL margin) is absorbed by
-    a static column slice. Row halos: the raw array has no _HALO2 pad
-    rows, so the first/last stripes clamp the DMA and shift in-window
-    (rows outside [0, h2) are exact zeros by up1's mask, matching the
-    pre-padded form)."""
-    bi = pl.program_id(0)
+    """tail_fused reading up1_fused's RAW output directly (round 4): no
+    pre-padded 128-lane tail input exists in HBM at all — the lax.pad
+    that built it rewrote a (B, hp2+4, wf2, 128) array (~2.1GB bf16 at
+    8K) every frame.
+
+    Layout route (all three in-VMEM unpack idioms are Mosaic dead-ends
+    on this toolchain — reshape/stack/flattened-lead minor splits all
+    fail infer-vector-layout with 'unsupported shape cast', and a manual
+    make_async_copy from a 64-lane-minor HBM view fails memref_slice;
+    both probed on v5e, BENCH_NOTES round 4): the lane-pair ->
+    fine-column unpack is a FREE row-major reshape done in XLA (bitcast,
+    no data movement), and the kernel takes AUTOMATIC BlockSpec
+    pipelining over the 64-lane fine array — measured legal where the
+    manual DMA is not. Row halos come from two extra 2-row strip specs
+    of the same array (index-map clamped at the edges; the halo content
+    outside the frame is exact zeros by up1's mask, and the first/last
+    stripes substitute explicit zeros where the clamp would alias
+    interior rows). The raw frame's column origin (fine col f = tail
+    col f + _PADL, from up1's doubled _PADL margin) is absorbed by a
+    static column slice."""
     si = pl.program_id(1)
-    m = bi * nstripes + si
-    he = bh2 + 2 * _HALO2
-
-    def dma(slot, idx):
-        bb = idx // nstripes
-        ii = idx % nstripes
-        a = jnp.clip(ii * bh2 - _HALO2, 0, hq - he)
-        return pltpu.make_async_copy(
-            xq_ref.at[bb, pl.ds(a, he)],
-            xblk.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(m == 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(m + 1 < nb * nstripes)
-    def _():
-        dma((m + 1) % 2, m + 1).start()
-
-    dma(m % 2, m).wait()
-
-    # row fixups for the clamped edge windows (cheap leading-dim concats)
-    @pl.when(si == 0)
-    def _():
-        win = xblk[m % 2]
-        z = jnp.zeros((_HALO2,) + win.shape[1:], win.dtype)
-        xblk[m % 2] = jnp.concatenate([z, win[: he - _HALO2]], axis=0)
-
-    shift_last = max(0, (nstripes - 1) * bh2 - _HALO2 - (hq - he))
-    if shift_last:
-        @pl.when(si == nstripes - 1)
-        def _():
-            win = xblk[m % 2]
-            z = jnp.zeros((shift_last,) + win.shape[1:], win.dtype)
-            xblk[m % 2] = jnp.concatenate([win[shift_last:], z], axis=0)
-
-    # lane-pair -> fine-column unpack, then the tail's column window:
-    # raw coarse col j holds fine cols {2j, 2j+1} of up1's padded fine
-    # grid whose col f is tail-input col f - _PADL
-    win = xblk[m % 2]
-    a0 = win[:, :, :nf]
-    a1 = win[:, :, nf : 2 * nf]
-    fine = jnp.stack([a0, a1], axis=2).reshape(he, 2 * wf1u, nf)
-    x = fine[:, _PADL : _PADL + wf2, :]
+    top = jnp.where(si == 0, 0, xt_ref[0]).astype(xc_ref.dtype)
+    bot = jnp.where(si == nstripes - 1, 0, xb_ref[0]).astype(xc_ref.dtype)
+    win = jnp.concatenate([top, xc_ref[0], bot], axis=0)
+    x = win[:, _PADL : _PADL + wf2, :]
     out_ref[0] = _tail_core(
         x, si, ku2, khr, klast, bu2, bhr, blast,
         bh2=bh2, h2=h2, w2=w2, wf2=wf2, rc=rc,
@@ -328,6 +291,13 @@ def tail_fused_raw(
         raise ValueError(
             f"raw width {wf1u} too narrow for tail width {wf2}"
         )
+    if hp2 > hq or bh2 % 2 or hq % 2:
+        # the block-pipelined form needs stripe-aligned raw rows; callers
+        # fall back to up1_raw_to_tail_input + tail_fused otherwise
+        raise ValueError(
+            f"raw rows {hq} do not cover the {hp2}-row stripe grid "
+            f"(bh2={bh2})"
+        )
     nstripes = hp2 // bh2
 
     ku2 = pack_prefix_weights(
@@ -339,31 +309,49 @@ def tail_fused_raw(
     bhr = jnp.tile(b_hr, 2).reshape(1, 1, -1).astype(jnp.float32)
     blast = jnp.tile(b_last, 2).reshape(1, 1, -1).astype(jnp.float32)
 
+    # the lane-pair -> fine-column unpack, FREE in XLA (row-major bitcast)
+    fine = xq.reshape(b, hq, 2 * wf1u, nf)
+    hb = bh2 // 2  # strip index stride, in 2-row block units
+    lastrow = hq // _HALO2 - 1
+
     kernel = functools.partial(
         _tail_raw_kernel,
-        bh2=bh2, h2=h2, w2=w2, wf2=wf2, wf1u=wf1u, nf=nf,
-        nstripes=nstripes, nb=b, rc=rc, hq=hq,
+        bh2=bh2, h2=h2, w2=w2, wf2=wf2, nf=nf,
+        nstripes=nstripes, rc=rc,
     )
     out = pl.pallas_call(
         kernel,
         grid=(b, nstripes),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, bh2, 2 * wf1u, nf), lambda bb, i: (bb, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _HALO2, 2 * wf1u, nf),
+                lambda bb, i: (bb, jnp.maximum(i * hb - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _HALO2, 2 * wf1u, nf),
+                lambda bb, i: (
+                    bb, jnp.minimum(i * hb + hb, lastrow), 0, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(
             (1, 2 * bh2, w2, 6), lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2 * hp2, w2, 6), xq.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, bh2 + 2 * _HALO2, wf1u, 2 * nf), xq.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xq, ku2, khr, klast, bu2, bhr, blast)
+    )(fine, fine, fine, ku2, khr, klast, bu2, bhr, blast)
     out = out[:, : 2 * h2]
     return out.reshape(b, 2 * h2, 2 * w2, 3)
 

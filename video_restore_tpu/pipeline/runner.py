@@ -211,16 +211,35 @@ class VideoRestorer:
                 elif ff == "auto":
                     # full-frame upgrade: measured +14.5% body on v5e
                     # (no tile overlap MACs, taller 2D stripes) — taken
-                    # whenever the TPU stripe body is active and the
-                    # activation estimate fits HBM (auto_full_frame)
+                    # whenever a TPU stripe body is active and the
+                    # activation estimate fits HBM (auto_full_frame).
+                    # RRDB has had a 2D-blocked body since round 3;
+                    # SRVGG gained one in round 4 (srvgg_stripe2d_padded
+                    # — the full-width form at 1920-wide forced bh<=16
+                    # tiny stripes, a 2x halo tax, so SRVGG stayed tiled
+                    # until then). auto_full_frame's activation estimate
+                    # is the RRDB one, which strictly dominates SRVGG's
+                    # (no 2x-res up1 buffer, conv_out is 48ch at LR).
                     from video_restore_tpu.models.rrdbnet import (
                         default_use_stripe,
                     )
-                    from video_restore_tpu.models.zoo import RRDBNetSpec
+                    from video_restore_tpu.models.srvgg import (
+                        default_use_srvgg_stripe,
+                    )
+                    from video_restore_tpu.models.zoo import (
+                        RRDBNetSpec,
+                        SRVGGSpec,
+                    )
 
-                    if (
+                    stripe_ok = (
                         isinstance(self.model.spec, RRDBNetSpec)
                         and default_use_stripe()
+                    ) or (
+                        isinstance(self.model.spec, SRVGGSpec)
+                        and default_use_srvgg_stripe()
+                    )
+                    if (
+                        stripe_ok
                         and auto_full_frame(
                             height, width, self.model.scale,
                             frames=max(cfg.frames_per_batch, 1),
