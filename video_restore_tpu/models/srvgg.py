@@ -95,18 +95,23 @@ def _stripe_group() -> int:
         return 8
 
 
-def _stripe_kform() -> str:
+def _stripe_kform(two_d: bool = False) -> str:
     """Contraction form of the fused body kernel: 'roll' = dy-folded
     3-matmul form with fp32 partial rolls; 'im2col' = dx folded into K
     (one (M, 9nf) x (9nf, nf) matmul per conv, no rolls); 'pack' =
     N-packed dx (ONE (M, 3nf) x (3nf, 3nf) matmul + slice/roll/add —
     lane occupancy 50%->75%, the same trick as the RDB body's
-    NPACK_DEFAULT). VRT_SRVGG_KFORM selects; see
-    ops/pallas_stripe._conv_prefix for the tradeoff."""
+    NPACK_DEFAULT). VRT_SRVGG_KFORM overrides; the measured default
+    (v5e, tools/bench_srvgg.py, 1080x1920 nf=64 g=8) is 'pack' for the
+    2D-blocked body — 65.1 TF/s vs roll's 48.1, +35%: the nf=64 convs
+    are 50% lane-occupied in roll form, 75% packed — and 'roll' for the
+    full-width form, which was only ever measured in roll form."""
     import os
 
-    v = os.environ.get("VRT_SRVGG_KFORM", "roll")
-    return v if v in ("roll", "im2col", "pack") else "roll"
+    v = os.environ.get("VRT_SRVGG_KFORM", "")
+    if v in ("roll", "im2col", "pack"):
+        return v
+    return "pack" if two_d else "roll"
 
 
 @partial(jax.jit, static_argnames=("scale", "stripe"))
@@ -140,7 +145,8 @@ def _apply(
             g -= 1
         ngroups = nconv // g
         wsg = fold_dy(params["body"]["w"])  # (nconv, 3, 3nf, nf)
-        kform = _stripe_kform()
+        blocks = srvgg_stripe2d_selection(fh, fw, g)
+        kform = _stripe_kform(two_d=blocks is not None)
         if kform == "im2col":
             wsg = wsg.reshape(ngroups, g, 9 * nf, nf)
         elif kform == "pack":
@@ -154,7 +160,6 @@ def _apply(
         bsg = params["body"]["b"].reshape(ngroups, g, nf)
         asg = params["body"]["alpha"].reshape(ngroups, g, nf)
 
-        blocks = srvgg_stripe2d_selection(fh, fw, g)
         if blocks is not None:
             # full-frame 2D-blocked body: no tile overlap, margin-DMA
             # W blocks bound VMEM at any width (the full-width form at
