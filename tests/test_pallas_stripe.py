@@ -547,11 +547,16 @@ def test_conv3x3_fused_kernel_parity(rng):
         (3, 16, "none", False, 20),
         (16, 16, "none", True, 18),
         (16, 16, "lrelu", False, 20),
+        (3, 16, "prelu", False, 20),  # SRVGG stem form
     )
     for cin, cout, act, use_res, h in cases:
-        x = jnp.asarray(rng.random((2, h, 24, cin)), jnp.float32)
+        x = jnp.asarray(rng.random((2, h, 24, cin)) - 0.4, jnp.float32)
         w = jnp.asarray(rng.random((3, 3, cin, cout)) * 0.1, jnp.float32)
-        b = jnp.asarray(rng.random((cout,)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.random((cout,)) * 0.1 - 0.05, jnp.float32)
+        alpha = (
+            jnp.asarray(rng.random((cout,)) * 0.5, jnp.float32)
+            if act == "prelu" else None
+        )
         res = (
             jnp.asarray(rng.random((2, h, 24, cout)), jnp.float32)
             if use_res else None
@@ -559,9 +564,11 @@ def test_conv3x3_fused_kernel_parity(rng):
         ref = conv2d(x, w, b)
         if act == "lrelu":
             ref = leaky_relu(ref)
+        elif act == "prelu":
+            ref = jnp.where(ref > 0, ref, ref * alpha)
         if use_res:
             ref = ref + res
-        got = conv3x3_fused(x, w, b, res, act=act, block_h=4,
+        got = conv3x3_fused(x, w, b, res, alpha, act=act, block_h=4,
                             interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4

@@ -118,10 +118,24 @@ def _stripe_kform(two_d: bool = False) -> str:
 def _apply(
     params: Params, x: jax.Array, scale: int, stripe: bool = False
 ) -> jax.Array:
-    feat = prelu(
-        conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"]),
-        params["alpha_in"],
-    )
+    from video_restore_tpu.models.rrdbnet import default_use_glue_kernel
+
+    if stripe and default_use_glue_kernel():
+        # stem conv_in + PReLU as the fused glue kernel: XLA ran the
+        # cin=3 conv + per-channel PReLU in a transposed T(2,128) layout
+        # (~16 ms/frame traced at 1080p, config 4) — same kernel
+        # geometry as the RRDB conv_first, so the program is cached
+        from video_restore_tpu.ops.pallas_tail import conv3x3_fused
+
+        feat = conv3x3_fused(
+            x, params["conv_in"]["w"], params["conv_in"]["b"],
+            alpha=params["alpha_in"], act="prelu",
+        )
+    else:
+        feat = prelu(
+            conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"]),
+            params["alpha_in"],
+        )
 
     if stripe:
         from video_restore_tpu.ops.pallas_srvgg import (
@@ -177,7 +191,14 @@ def _apply(
                     None,
                 )
 
-            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg))
+            # unroll: the scan carry copy of the padded body array was
+            # 7.7 ms/frame in the config-4 trace (vs neutral for the
+            # RRDB body scan); VRT_SRVGG_UNROLL=1 restores the rolled
+            # form
+            import os as _os
+
+            _unr = int(_os.environ.get("VRT_SRVGG_UNROLL", "0")) or ngroups
+            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg), unroll=_unr)
             feat = unpad_stripe2d_exit(
                 xp, fh, fw, nf, block_h=bh2, block_w=bw2
             )

@@ -694,9 +694,10 @@ def _conv3x3_kernel(
     has_res: bool,
 ):
     if has_res:
-        rp_ref, ku, bb, out_ref, xblk, rblk, sem, rsem = rest
+        rp_ref, ku, bb, *aa_t, out_ref, xblk, rblk, sem, rsem = rest
     else:
-        ku, bb, out_ref, xblk, sem = rest
+        ku, bb, *aa_t, out_ref, xblk, sem = rest
+    aa = aa_t[0] if aa_t else None
     bi = pl.program_id(0)
     si = pl.program_id(1)
     m = bi * nstripes + si
@@ -747,6 +748,10 @@ def _conv3x3_kernel(
         q = q + bb[0]
         if act == "lrelu":
             q = jax.nn.leaky_relu(q, 0.2)
+        elif act == "prelu":
+            # per-channel PReLU (SRVGG stem); alpha rides in VMEM as a
+            # (1, 1, cout) f32 row like the bias
+            q = jnp.where(q > 0, q, q * aa[0])
         if has_res:
             r = resblk[r0 : r0 + q.shape[0], :, : q.shape[2]]
             q = q + r.astype(jnp.float32)
@@ -764,6 +769,7 @@ def conv3x3_fused(
     w: jax.Array,
     bias: jax.Array,
     res: jax.Array | None = None,
+    alpha: jax.Array | None = None,
     *,
     act: str = "none",
     block_h: int | None = None,
@@ -771,8 +777,9 @@ def conv3x3_fused(
     interpret: bool = False,
 ) -> jax.Array:
     """Plain SAME 3x3 conv as a stripe Pallas kernel, with optional
-    leaky-relu and optional residual add fused into the output chunks:
-    ``act(conv2d(x, w, bias)) + res``.
+    leaky-relu / per-channel PReLU (``act="prelu"`` with ``alpha``
+    (cout,) — the SRVGG stem) and optional residual add fused into the
+    output chunks: ``act(conv2d(x, w, bias)) + res``.
 
     Replaces two slow XLA glue ops in the flagship trace (full-frame
     1080p): conv_first ran 0.8 TF/s (cin=3 starves the MXU in XLA's
@@ -837,6 +844,11 @@ def conv3x3_fused(
         ]
     operands += [ku, bb]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    if act == "prelu":
+        if alpha is None:
+            raise ValueError("act='prelu' needs alpha (cout,)")
+        operands.append(alpha.reshape(1, 1, -1).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
         _conv3x3_kernel,
