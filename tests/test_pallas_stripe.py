@@ -884,3 +884,149 @@ def test_full_model_stripe2d_env(rng, monkeypatch):
         )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out_prep, ref, rtol=2e-4, atol=2e-4)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    rng_ = b.max() - b.min()
+    return 10 * np.log10(rng_ * rng_ / max(mse, 1e-20))
+
+
+def test_quantize_prefix_weights_layouts(rng):
+    """Round-trip property: q * s reconstructs every prefix-form layout
+    (per-dx, N-packed, im2col) to within half an LSB per element, and the
+    N-packed scale is shared across a channel's three dx lane copies."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        im2col_prefix_weights,
+        pack_prefix_weights,
+        prefix_rdb_weights,
+        quantize_prefix_weights,
+    )
+
+    rdb, ws, bs = _one_rdb()
+    for form in (
+        ws,
+        pack_prefix_weights(ws, (0, 1, 4)),
+        im2col_prefix_weights(ws, (2, 3)),
+    ):
+        qws, sws = quantize_prefix_weights(form)
+        for w, q, s in zip(form, qws, sws):
+            assert q.dtype == jnp.int8
+            assert s.shape[-1] in (w.shape[-1], w.shape[-1] // 3)
+            if q.ndim == 2 and q.shape[-2] < q.shape[-1]:  # npacked
+                rec = np.asarray(q, np.float32).reshape(
+                    q.shape[0], 3, -1
+                ) * np.asarray(s)
+                rec = rec.reshape(q.shape)
+            elif q.ndim == 2:  # im2col
+                rec = np.asarray(q, np.float32) * np.asarray(s)
+            else:  # per-dx
+                rec = np.asarray(q, np.float32) * np.asarray(s)
+            err = np.abs(rec - np.asarray(w, np.float32))
+            assert err.max() <= np.asarray(s).max() * 0.5 + 1e-7
+
+
+def test_rdb_stripe2d_int8_interpret(rng):
+    """W8A8 2D stripe kernel (quantize_prefix_weights + sws) vs the fp32
+    naive RDB: the quantization error budget for one RDB is far inside
+    50 dB PSNR (the interpret-mode smoke measured ~82 dB), and the
+    padded-form zero invariant must hold exactly."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        production_prefix_weights,
+        quantize_prefix_weights,
+        rdb_stripe2d_padded,
+        unpad_stripe2d_exit,
+    )
+
+    nf, gc = 16, 8
+    rdb, ws, bs = _one_rdb(nf, gc)
+    ws = production_prefix_weights(ws)
+    qws, sws = quantize_prefix_weights(ws)
+    x = jnp.asarray(rng.random((1, 64, 96, nf)).astype(np.float32))
+    ref = np.asarray(_rdb_apply(rdb, x))
+    xp = pad_stripe2d_entry(x, block_h=32, block_w=48)
+    outp = rdb_stripe2d_padded(
+        xp, qws, bs, frame_h=64, frame_w=96, block_h=32, block_w=48,
+        sws=sws, interpret=True,
+    )
+    out = np.asarray(
+        unpad_stripe2d_exit(outp, 64, 96, nf, block_h=32, block_w=48)
+    )
+    assert _psnr(out, ref) > 50.0
+    # chainable padded form: pad regions stay exact zeros
+    full = np.array(outp)
+    body = full[:, 32 : 32 + 64, :96, :nf].copy()
+    full[:, 32 : 32 + 64, :96, :nf] = 0.0
+    assert np.all(full == 0.0)
+    np.testing.assert_allclose(body, out)
+
+
+def test_rdb_stripe2d_split_int8_interpret(rng):
+    """Split edge/interior launches with int8: identical values to the
+    single-call quant kernel (same quant math, same chunk boundaries)."""
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        production_prefix_weights,
+        quantize_prefix_weights,
+        rdb_stripe2d_padded,
+        rdb_stripe2d_split,
+        stripe2d_split_ok,
+        unpad_stripe2d_exit,
+    )
+
+    nf, gc = 16, 8
+    rdb, ws, bs = _one_rdb(nf, gc)
+    ws = production_prefix_weights(ws)
+    qws, sws = quantize_prefix_weights(ws)
+    x = jnp.asarray(rng.random((1, 96, 144, nf)).astype(np.float32))
+    assert stripe2d_split_ok(96, 144, 32, 48)
+    xp = pad_stripe2d_entry(x, block_h=32, block_w=48)
+    kw = dict(frame_h=96, frame_w=144, block_h=32, block_w=48, sws=sws,
+              interpret=True)
+    a = rdb_stripe2d_padded(xp, qws, bs, **kw)
+    b = rdb_stripe2d_split(xp, qws, bs, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    # and the res-fused split form against the naive residual
+    ref = np.asarray(x + 0.2 * _rdb_apply(rdb, x))
+    r = rdb_stripe2d_split(a * 0 + xp, qws, bs, x0=xp, res=True, **kw)
+    got = np.asarray(
+        unpad_stripe2d_exit(r, 96, 144, nf, block_h=32, block_w=48)
+    )
+    assert _psnr(got, ref) > 50.0
+
+
+def test_full_model_stripe_int8_interpret(rng):
+    """_apply(stripe=True, precision='int8') end to end (interpret):
+    quality within a few tenths of a dB of the bf16 stripe path at this
+    depth, exercising the in-jit _quantize_stripe_body over the scan-
+    stacked body leaves."""
+    from unittest import mock
+
+    import video_restore_tpu.ops.pallas_stripe as pk
+    from video_restore_tpu.models.rrdbnet import _apply, apply_rrdbnet
+
+    spec = RRDBNetSpec(num_feat=16, num_block=2, num_grow_ch=8, scale=4)
+    params = init_rrdbnet(jax.random.PRNGKey(1), spec)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    ref = np.asarray(apply_rrdbnet(params, x, spec, use_pallas=False))
+
+    orig1 = pk.rdb_stripe_padded
+    orig2 = pk.rdb_res_stripe_padded
+
+    def interp1(xx, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig1(xx, ws, bs, **kw)
+
+    def interp2(xx, x0, ws, bs, **kw):
+        kw["interpret"] = True
+        return orig2(xx, x0, ws, bs, **kw)
+
+    with mock.patch.object(
+        pk, "rdb_stripe_padded", interp1
+    ), mock.patch.object(pk, "rdb_res_stripe_padded", interp2):
+        out = np.asarray(
+            _apply(params, x, spec.scale, stripe=True, precision="int8")
+        )
+    assert out.shape == ref.shape
+    assert _psnr(out, ref) > 45.0

@@ -125,7 +125,11 @@ Streaming (y4m over stdin/stdout, for ffmpeg pipelines):
                    help="final upscale factor (Lanczos-resized from the "
                         "model's native scale)")
     # TPU / framework flags
-    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument(
+        "--precision", default="bf16", choices=["bf16", "fp32", "int8"],
+        help="model compute precision; int8 runs the RRDB body as W8A8 "
+        "MXU dots (opt-in speed-for-quality trade, see docs/KNOBS.md)",
+    )
     p.add_argument("--shard-mode", default="frames",
                    choices=["frames", "tiles"],
                    help="frames: shard the frame batch across devices "
@@ -269,6 +273,11 @@ def main(argv=None) -> int:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
+    # typo protection for the measured-knob surface (docs/KNOBS.md): a
+    # misspelled VRT_* would otherwise silently no-op
+    from video_restore_tpu.utils.knobs import warn_unknown_knobs
+
+    warn_unknown_knobs()
     if args.multihost:
         from video_restore_tpu.parallel.multihost import init_multihost
 

@@ -41,7 +41,7 @@ QUALITY_PRESETS = ("fast", "balanced", "max")
 X264_PRESETS = ("ultrafast", "fast", "medium", "slow", "veryslow")
 OUTPUT_FORMATS = ("mp4", "mkv", "y4m", "avi", "webm", "mov")
 VIDEO_CODECS = ("h264", "h265", "mpeg4", "rawvideo")
-PRECISIONS = ("bf16", "fp32")
+PRECISIONS = ("bf16", "fp32", "int8")
 
 
 @dataclasses.dataclass
@@ -72,7 +72,9 @@ class RestoreConfig:
     # forces it, "off" always honours tile_size.
     full_frame: str = "auto"
 
-    # --- precision (video_upscaler.py:123 use_fp16=True -> TPU bf16) ---
+    # --- precision (video_upscaler.py:123 use_fp16=True -> TPU bf16;
+    # "int8" = W8A8 stripe body, the next rung of the reference's own
+    # speed-for-precision ladder — models/rrdbnet.py default_precision) ---
     precision: str = "bf16"
 
     # --- enhancement stack (video_upscaler.py:124-125 + README.md:9-12) ---

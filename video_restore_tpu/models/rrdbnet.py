@@ -347,6 +347,40 @@ def _rrdb_apply_pallas(tp: Params, x: jax.Array) -> jax.Array:
     return rrdb_fused(x, tp)
 
 
+def default_precision() -> str:
+    """Body matmul precision: "bf16" (default) or "int8" (W8A8 stripe
+    body — per-out-channel symmetric int8 weights, per-chunk dynamic
+    activation scales, i8xi8->i32 MXU dots; the round-2 probe measured
+    the int8 dot at 1.34x bf16 on v5e). VRT_PRECISION overrides; the
+    CLI --precision flag sets it. int8 applies to the stripe-form RDB
+    body only (86% of the flagship frame) — every other stage keeps its
+    measured dtype. Matches the reference's own speed-for-precision
+    trade (half=True, /root/reference/video_upscaler.py:335)."""
+    import os
+
+    v = os.environ.get("VRT_PRECISION", "bf16").lower()
+    if v not in ("bf16", "int8"):
+        raise ValueError(
+            f"VRT_PRECISION must be bf16 or int8 (got {v!r})"
+        )
+    return v
+
+
+def _quantize_stripe_body(body: Params) -> Params:
+    """Per-RDB int8 quantization of prefix-form body weights (W8 of the
+    W8A8 path); adds an "sw" scale tuple next to "w"/"b". Runs in-jit on
+    the (possibly block-stacked) leaves — ~17M weight elements of
+    VPU-side amax/round per step, negligible against the body matmuls,
+    and it keeps the checkpoint/prepare formats unchanged."""
+    from video_restore_tpu.ops.pallas_stripe import quantize_prefix_weights
+
+    out = {}
+    for r, tp in body.items():
+        qws, sws = quantize_prefix_weights(tp["w"])
+        out[r] = {"w": qws, "b": tp["b"], "sw": sws}
+    return out
+
+
 def _rrdb_apply_stripe(tp: Params, xp: jax.Array, h: int, w: int) -> jax.Array:
     """RRDB via the stripe-form fused RDB kernel (ops/pallas_stripe.py):
     measured 2.0x the XLA accum path per RDB on v5e (5.7 vs 11.6 ms on the
@@ -367,13 +401,16 @@ def _rrdb_apply_stripe(tp: Params, xp: jax.Array, h: int, w: int) -> jax.Array:
     )
 
     out = rdb_stripe_padded(
-        xp, tp["rdb1"]["w"], tp["rdb1"]["b"], frame_h=h, frame_w=w
+        xp, tp["rdb1"]["w"], tp["rdb1"]["b"], frame_h=h, frame_w=w,
+        sws=tp["rdb1"].get("sw"),
     )
     out = rdb_stripe_padded(
-        out, tp["rdb2"]["w"], tp["rdb2"]["b"], frame_h=h, frame_w=w
+        out, tp["rdb2"]["w"], tp["rdb2"]["b"], frame_h=h, frame_w=w,
+        sws=tp["rdb2"].get("sw"),
     )
     return rdb_res_stripe_padded(
-        out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"], frame_h=h, frame_w=w
+        out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"], frame_h=h, frame_w=w,
+        sws=tp["rdb3"].get("sw"),
     )
 
 
@@ -398,8 +435,14 @@ def _rrdb_apply_stripe2d(
 
     kw = dict(frame_h=h, frame_w=w, block_h=bh, block_w=bw)
     if stripe2d_split_ok(h, w, bh, bw):
-        out = rdb_stripe2d_split(xp, tp["rdb1"]["w"], tp["rdb1"]["b"], **kw)
-        out = rdb_stripe2d_split(out, tp["rdb2"]["w"], tp["rdb2"]["b"], **kw)
+        out = rdb_stripe2d_split(
+            xp, tp["rdb1"]["w"], tp["rdb1"]["b"],
+            sws=tp["rdb1"].get("sw"), **kw,
+        )
+        out = rdb_stripe2d_split(
+            out, tp["rdb2"]["w"], tp["rdb2"]["b"],
+            sws=tp["rdb2"].get("sw"), **kw,
+        )
         # The res variant's x0 scratch block (+~8MB) pushed the unchunked
         # split kernel 984KB over the 127MB VMEM limit at 135x240 in the
         # full flagship program (r4 measured; the isolated A/B only ran
@@ -411,14 +454,23 @@ def _rrdb_apply_stripe2d(
         if res_mode != "0":
             return rdb_stripe2d_split(
                 out, tp["rdb3"]["w"], tp["rdb3"]["b"], x0=xp, res=True,
-                row_chunk=int(res_mode), **kw
+                row_chunk=int(res_mode), sws=tp["rdb3"].get("sw"), **kw
             )
-        return rdb_res_stripe2d_padded(out, xp, tp["rdb3"]["w"],
-                                       tp["rdb3"]["b"], **kw)
-    out = rdb_stripe2d_padded(xp, tp["rdb1"]["w"], tp["rdb1"]["b"], **kw)
-    out = rdb_stripe2d_padded(out, tp["rdb2"]["w"], tp["rdb2"]["b"], **kw)
+        return rdb_res_stripe2d_padded(
+            out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"],
+            sws=tp["rdb3"].get("sw"), **kw,
+        )
+    out = rdb_stripe2d_padded(
+        xp, tp["rdb1"]["w"], tp["rdb1"]["b"],
+        sws=tp["rdb1"].get("sw"), **kw,
+    )
+    out = rdb_stripe2d_padded(
+        out, tp["rdb2"]["w"], tp["rdb2"]["b"],
+        sws=tp["rdb2"].get("sw"), **kw,
+    )
     return rdb_res_stripe2d_padded(
-        out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"], **kw
+        out, xp, tp["rdb3"]["w"], tp["rdb3"]["b"],
+        sws=tp["rdb3"].get("sw"), **kw,
     )
 
 
@@ -441,7 +493,7 @@ def default_use_pallas() -> bool:
     jax.jit,
     static_argnames=(
         "scale", "naive", "use_pallas", "sd", "accum", "stripe", "prepared",
-        "unshuffle", "differentiable",
+        "unshuffle", "differentiable", "precision",
     ),
 )
 def _apply(
@@ -456,6 +508,7 @@ def _apply(
     prepared: bool = False,
     unshuffle: bool = True,
     differentiable: bool = False,
+    precision: str = "bf16",
 ) -> jax.Array:
     if unshuffle and scale == 2:
         x = pixel_unshuffle(x, 2)
@@ -570,6 +623,12 @@ def _apply(
 
             def block_step(h, bp):
                 return rrdb_fn(bp, h), None
+
+        if not naive and stripe and precision == "int8":
+            # W8A8 body: quantize the prefix-form weights in-jit (per
+            # out-channel scales, "sw" leaves ride the body scan like
+            # the weights) — checkpoint/prepare formats stay bf16
+            body = _quantize_stripe_body(body)
 
         if not naive and stripe:
             # pad once, run the whole 23-block body in padded stripe form,
@@ -1012,6 +1071,7 @@ def apply_rrdbnet(
     use_pallas: "bool | None" = None,
     sd: "bool | None" = None,
     differentiable: bool = False,
+    precision: "str | None" = None,
 ) -> jax.Array:
     """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
 
@@ -1026,7 +1086,13 @@ def apply_rrdbnet(
 
     ``differentiable=True`` (training) forces the pure-XLA paths: the
     Pallas kernels (stripe body, fused tail) define no VJP, so autodiff
-    through the TPU production defaults would fail."""
+    through the TPU production defaults would fail.
+
+    ``precision`` ("bf16"/"int8", default VRT_PRECISION): int8 runs the
+    stripe-form RDB body as W8A8 MXU dots (see default_precision); it
+    applies only to the stripe mode — other modes keep bf16."""
+    if precision is None:
+        precision = default_precision()
     if differentiable:
         return _apply(
             params, x, spec.scale,
@@ -1046,5 +1112,5 @@ def apply_rrdbnet(
     )
     return _apply(
         params, x, spec.scale, naive, use_pallas, sd, accum, stripe,
-        unshuffle=spec.unshuffle,
+        unshuffle=spec.unshuffle, precision=precision,
     )

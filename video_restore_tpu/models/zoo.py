@@ -117,10 +117,13 @@ class ModelHandle:
             return lambda p, x: apply_srvgg(p, x, spec, stripe=False)
         return lambda p, x: apply_srvgg(p, x, spec)
 
-    def prepared(self, dtype) -> "tuple[Any, Callable]":
+    def prepared(self, dtype, precision: str = "bf16") -> "tuple[Any, Callable]":
         """(prepared_params, apply_fn) with execution-mode weight
         transforms (regroup / sd kernels) done once, so the production
-        step's program contains only the convs."""
+        step's program contains only the convs. ``precision`` ("bf16" /
+        "int8") selects the stripe body's matmul precision (the W8A8
+        path — models/rrdbnet.py default_precision); prepared params
+        stay in ``dtype``, the int8 quantization happens in-jit."""
         m = self.cast(dtype)
         spec = self.spec
         if not isinstance(spec, RRDBNetSpec):
@@ -146,6 +149,7 @@ class ModelHandle:
                 stripe=mode == "stripe",
                 prepared=mode != "naive",
                 unshuffle=spec.unshuffle,
+                precision=precision if mode == "stripe" else "bf16",
             )
 
         return pp, fn

@@ -184,6 +184,70 @@ def im2col_prefix_weights(ws, sel: Tuple[int, ...]):
     return tuple(out)
 
 
+def _prefix_layout(w) -> str:
+    """Layout of a prefix-form weight leaf (batch-stacked or not):
+    "dx" (..., 3, 3cin, cout), "im2col" (..., 9cin, cout), or
+    "npacked" (..., 3cin, 3cout). The dx form always has shape[-3] == 3;
+    RDB block stacks are 23/6 deep, never 3, so the test is unambiguous
+    for every layout this file produces."""
+    if w.ndim >= 3 and w.shape[-3] == 3:
+        return "dx"
+    if w.shape[-2] > w.shape[-1]:
+        return "im2col"
+    return "npacked"
+
+
+def quantize_prefix_weights(ws):
+    """Per-out-channel symmetric int8 quantization of prefix-form weights
+    (W8 of the W8A8 body — VERDICT r4 item 1; the round-2 MXU probe
+    measured i8xi8->i32 pallas dots at 1.34x bf16 on v5e).
+
+    Returns (qws, sws): qws[k] is int8 in the same layout as ws[k]; sws[k]
+    is fp32 (..., cout) with q * s == w up to rounding. One scale per
+    FILTER output channel — for the N-packed layout the scale is computed
+    over all three dx lane copies of a channel (they are taps of the same
+    filter), so the kernel can sum the three int32 dx partials BEFORE
+    dequantizing. Batch-agnostic (applies to (num_block, ...) stacked
+    leaves). The reference's own speed-for-precision trade is half=True
+    at /root/reference/video_upscaler.py:335.
+    """
+    qws, sws = [], []
+    for w in ws:
+        wf32 = w.astype(jnp.float32)
+        layout = _prefix_layout(w)
+        if layout == "dx":
+            amax = jnp.max(jnp.abs(wf32), axis=(-3, -2))
+            s = jnp.maximum(amax, 1e-12) / 127.0
+            q = wf32 / s[..., None, None, :]
+        elif layout == "im2col":
+            amax = jnp.max(jnp.abs(wf32), axis=-2)
+            s = jnp.maximum(amax, 1e-12) / 127.0
+            q = wf32 / s[..., None, :]
+        else:  # npacked (..., 3cin, 3cout): view (..., 3cin, 3, cout)
+            cout = w.shape[-1] // 3
+            wv = wf32.reshape(wf32.shape[:-1] + (3, cout))
+            amax = jnp.max(jnp.abs(wv), axis=(-3, -2))
+            s = jnp.maximum(amax, 1e-12) / 127.0
+            q = (wv / s[..., None, None, :]).reshape(wf32.shape)
+        qws.append(
+            jnp.clip(jnp.round(q), -127.0, 127.0).astype(jnp.int8)
+        )
+        sws.append(s)
+    return tuple(qws), tuple(sws)
+
+
+def _quant_act(ak):
+    """A8 of the W8A8 body: dynamic symmetric per-chunk activation
+    quantization (scale = amax/127 over the row chunk, computed in VMEM —
+    a VPU reduce over data already resident, ~us against ms of matmul).
+    Returns (int8 tensor, fp32 scalar scale)."""
+    akf = ak.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(akf))
+    sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    qa = jnp.clip(jnp.round(akf * (1.0 / sa)), -127.0, 127.0)
+    return qa.astype(jnp.int8), sa
+
+
 def _wgeom(w) -> Tuple[int, int]:
     """(cin, cout) of a prefix-form weight in any of the three layouts:
     (3, 3cin, cout) per-dx, (3cin, 3cout) N-packed, (9cin, cout) im2col
@@ -235,12 +299,22 @@ def _nodycat_min() -> int:
     return int(v) if v.isdigit() else 1 << 30
 
 
-def _conv_prefix(a, w, out_dt=jnp.float32):
+def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
     """3x3 conv, column-aligned: (e, Wf, cin) x weights -> (e-2, Wf, cout)
     ``out_dt``; output row r/col j centered on input row r+1 / col j.
     Columns {0, Wf-1} are wrapped garbage (handled by the caller's frame
     mask). The per-dx partials stay fp32 through the alignment rolls
     (Mosaic rotates 32-bit data only) and are cast on the final sum.
+
+    ``sw`` (fp32, broadcastable to (.., cout)) selects the W8A8 int8 path:
+    ``w`` must then be int8 (quantize_prefix_weights) and each row chunk's
+    input is quantized in-VMEM with a dynamic per-chunk scale
+    (_quant_act). The dots run i8 x i8 -> i32 on the MXU (measured 1.34x
+    bf16 on v5e, BENCH_NOTES round-2 findings); the alignment rolls and
+    dx-partial adds stay in int32 (exact, and Mosaic rotates 32-bit
+    data), and ONE dequant multiply (sa * sw) lands the chunk in fp32 —
+    the downstream prefix accumulator/bias/lrelu epilogue is unchanged
+    from the bf16 form.
 
     Two weight layouts select the contraction form:
 
@@ -258,6 +332,11 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
     oh = e - 2
     im2col = w.ndim == 2 and w.shape[0] > w.shape[1]
     npacked = w.ndim == 2 and not im2col
+    if sw is not None and im2col:
+        raise NotImplementedError(
+            "int8 is not wired for the im2col contraction form "
+            "(an opt-in measured dead-end, BENCH_NOTES round 3)"
+        )
     # fp32-partial byte budget bounds the row chunk; the dy-stack concat
     # ak is built PER CHUNK (round 4) so its bf16 footprint is bounded
     # too — the full-height build scaled with the window (82MB at the
@@ -268,7 +347,7 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
         rc = max(8, _npack_chunk_bytes() // (wf * w.shape[1] * 4) // 8 * 8)
     else:
         rc = max(8, _npack_chunk_bytes() // (wf * w.shape[-1] * 4) // 8 * 8)
-    nodycat = npacked and cin >= _nodycat_min()
+    nodycat = npacked and sw is None and cin >= _nodycat_min()
     outs = []
     for r0 in range(0, oh, rc):
         r1 = min(r0 + rc, oh)
@@ -324,28 +403,40 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
             )
         elif npacked:  # N-packed (3cin, 3cout)
             n = w.shape[1] // 3
+            if sw is not None:
+                ak, sa = _quant_act(ak)
             p = lax.dot_general(
                 ak,
                 w,
                 dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(
+                    jnp.int32 if sw is not None else jnp.float32
+                ),
             )
             q = None
             for dx in range(3):
                 part = _roll_w(p[:, :, dx * n : (dx + 1) * n], dx - 1)
                 q = part if q is None else q + part
+            if sw is not None:
+                q = q.astype(jnp.float32) * (sa * sw)
             outs.append(q)
         else:  # per-dx (3, 3cin, cout): one matmul per column tap
+            if sw is not None:
+                ak, sa = _quant_act(ak)
             acc = None
             for dx in range(3):
                 p = lax.dot_general(
                     ak,
                     w[dx],
                     dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=(
+                        jnp.int32 if sw is not None else jnp.float32
+                    ),
                 )
                 p = _roll_w(p, dx - 1)
                 acc = p if acc is None else acc + p
+            if sw is not None:
+                acc = acc.astype(jnp.float32) * (sa * sw)
             outs.append(acc)
     acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return acc.astype(out_dt)
@@ -353,7 +444,7 @@ def _conv_prefix(a, w, out_dt=jnp.float32):
 
 def _rdb_stage(
     x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok, nomask=None,
-    rc=None,
+    rc=None, sw5=None,
 ):
     """One full RDB on a window x (e, Wf, nf): 5 chained prefix-form convs
     + the 0.2 residual, masked to the frame (exact SAME padding; zeros
@@ -389,6 +480,8 @@ def _rdb_stage(
     ws_ = (w0, w1, w2, w3, w4)
     b1, b2, b3, b4, b5_ = b5
     bs_ = (b1, b2, b3, b4, b5_)
+    # sw5: per-conv fp32 (1, 1, cout) weight scales (W8A8 path) or None
+    sws_ = (None,) * 5 if sw5 is None else tuple(s[0] for s in sw5)
     g = gc
     e = x.shape[0]
     n1 = e - 2  # acc1 rows; stage-k acc has n1 - 2(k-1) rows
@@ -418,7 +511,7 @@ def _rdb_stage(
     for j in range(len(bounds) - 1):
         lo_b, hi_b = bounds[j], bounds[j + 1]
         # stage 1: conv1 over x rows [lo_b, hi_b+2) -> acc1 rows [lo_b, hi_b)
-        acc = _conv_prefix(x[lo_b : hi_b + 2], w0[:], acc_dt)
+        acc = _conv_prefix(x[lo_b : hi_b + 2], w0[:], acc_dt, sw=sws_[0])
         for k in range(1, 5):
             # this chunk's acc_k covers rows [max(0, lo_b-2(k-1)), hi_b-2(k-1))
             sk = max(0, lo_b - 2 * (k - 1))
@@ -437,7 +530,9 @@ def _rdb_stage(
                 carry_c[k - 1] = ck[-2:]
                 carry_acc[k - 1] = acc[-1:]
             if k < 4:
-                conv_out = _conv_prefix(conv_in, ws_[k][:], acc_dt)
+                conv_out = _conv_prefix(
+                    conv_in, ws_[k][:], acc_dt, sw=sws_[k]
+                )
                 cout = conv_out.shape[-1]
                 acc = jnp.concatenate(
                     [acc_src[:, :, :cout] + conv_out, acc_src[:, :, cout:]],
@@ -447,7 +542,7 @@ def _rdb_stage(
                 # stage 5 epilogue: fp32 conv + residual on the nf prefix
                 c5 = (
                     acc_src[:, :, :nf].astype(jnp.float32)
-                    + _conv_prefix(conv_in, ws_[4][:])
+                    + _conv_prefix(conv_in, ws_[4][:], sw=sws_[4])
                     + b5_[0]
                 )
         s5 = max(0, lo_b - 2 * 4)
@@ -462,12 +557,8 @@ def _rdb_stage(
 
 def _rdb_stripe_kernel(
     xp_ref,  # (B, Hp, Wf, nf) in ANY/HBM — padded input
-    w0, w1, w2, w3, w4,  # prefix-form weights (3, 3cin, cout), VMEM
-    b1, b2, b3, b4, b5,  # biases (1, 1, g|nf) fp32, VMEM
-    out_ref,  # (1, bh, W, nf) VMEM block — or (1, bh, Wf, nfp) when padded
-    xblk,  # scratch (2, bh + 2*_HALO, Wf, nf) — double-buffer slots
-    sem,  # DMA semaphores (2,)
-    *,
+    *refs,  # 5 weight refs, 5 bias refs, [5 scale refs], out_ref, xblk, sem
+    quant: bool = False,
     bh: int,
     h: int,
     w: int,
@@ -480,6 +571,15 @@ def _rdb_stripe_kernel(
     padded_out: bool = False,
     cpad: int = 0,
 ):
+    # weights: prefix-form (3, 3cin, cout) VMEM (int8 when quant);
+    # biases: (1, 1, g|nf) fp32 VMEM; scales (quant only): (1, 1, cout)
+    # fp32 VMEM; then out_ref (1, bh, W|Wf, nf|nfp) VMEM block, the
+    # (2, bh + 2*_HALO, Wf, nf) double-buffer scratch, and DMA semaphores
+    nw = 15 if quant else 10
+    wref = refs[0:5]
+    bref = refs[5:10]
+    sref = refs[10:15] if quant else None
+    out_ref, xblk, sem = refs[nw], refs[nw + 1], refs[nw + 2]
     bi = pl.program_id(0)
     if padded_out:
         # grid walks nstripes+2 row-blocks: blocks 0 and nstripes+1 are the
@@ -533,10 +633,10 @@ def _rdb_stripe_kernel(
         cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
         col_ok = (cols >= _PADL) & (cols < _PADL + w)
         out = _rdb_stage(
-            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            x, wref, bref,
             si * bh - _HALO,
             h=h, w=w, wf=wf, nf=nf, gc=gc, dt=dt, acc_dt=acc_dt,
-            col_ok=col_ok,
+            col_ok=col_ok, sw5=sref,
         )
         if padded_out:
             # full-width output, zeroed outside the frame (by the stage's
@@ -659,6 +759,7 @@ def rdb_stripe_padded(
     frame_h: int,
     frame_w: int,
     block_h: int | None = None,
+    sws: Sequence[jax.Array] | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB forward in padded stripe form: (B, hp+2*bh, Wf, nfp) ->
@@ -680,11 +781,13 @@ def rdb_stripe_padded(
             f"(expected {(b, hp + 2 * bh, wf, nf + cpad)})"
         )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
-    wlist = [wi.astype(xp.dtype) for wi in ws]
+    wlist = _wcast(ws, xp.dtype)
+    scale3 = _scale3(sws)
     nstripes = hp // bh
 
     kernel = functools.partial(
         _rdb_stripe_kernel,
+        quant=sws is not None,
         bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, gc=gc,
         nstripes=nstripes, nb=b, acc_bf16=False,
         padded_out=True, cpad=cpad,
@@ -693,7 +796,7 @@ def rdb_stripe_padded(
         kernel,
         grid=(b, nstripes + 2),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(scale3)),
         out_specs=pl.BlockSpec(
             (1, bh, wf, nf + cpad), lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -710,7 +813,23 @@ def rdb_stripe_padded(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, *wlist, *bias3)
+    )(xp, *wlist, *bias3, *scale3)
+
+
+def _wcast(ws, dt):
+    """Cast weights to the activation dtype — except int8 quantized
+    weights (W8A8 path), which stay int8 for the MXU."""
+    return [
+        wi if wi.dtype == jnp.int8 else wi.astype(dt) for wi in ws
+    ]
+
+
+def _scale3(sws):
+    """(.., cout) fp32 weight scales -> (1, 1, cout) kernel operands
+    (empty list when the call is not quantized)."""
+    if sws is None:
+        return []
+    return [s.reshape(1, 1, -1).astype(jnp.float32) for s in sws]
 
 
 _HALO3 = 3 * _HALO  # telescoped halo of the 3-RDB fused chain
@@ -862,14 +981,8 @@ def rrdb_stripe_padded(
 def _rdb_res_stripe_kernel(
     xp_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — rdb2 output, padded form
     x0_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — block input, ALIASED to out
-    w0, w1, w2, w3, w4,
-    b1, b2, b3, b4, b5,
-    out_ref,  # (1, bh, Wf, nfp) VMEM block at row-block si+1
-    xblk,  # (2, bh + 2*_HALO, Wf, nfp) input double-buffer
-    x0blk,  # (1, bh, Wf, nfp) residual-source slot
-    sem,  # DMA semaphores (2,)
-    sem0,  # residual DMA semaphore (1,)
-    *,
+    *refs,  # 5 weights, 5 biases, [5 scales], out, xblk, x0blk, sem, sem0
+    quant: bool = False,
     bh: int,
     h: int,
     w: int,
@@ -887,6 +1000,11 @@ def _rdb_res_stripe_kernel(
     multiply-add (0.59ms/block on the 68MB padded arrays, 82ms/frame).
     The x0 stripe DMA is issued at program start and waited only in the
     epilogue, hidden under ~1ms of conv compute."""
+    nw = 15 if quant else 10
+    wref = refs[0:5]
+    bref = refs[5:10]
+    sref = refs[10:15] if quant else None
+    out_ref, xblk, x0blk, sem, sem0 = refs[nw : nw + 5]
     bi = pl.program_id(0)
     si = pl.program_id(1)
     m = bi * nstripes + si
@@ -921,10 +1039,10 @@ def _rdb_res_stripe_kernel(
     cols = lax.broadcasted_iota(jnp.int32, (1, wf, 1), 1)
     col_ok = (cols >= _PADL) & (cols < _PADL + w)
     t = _rdb_stage(
-        x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+        x, wref, bref,
         si * bh - _HALO,
         h=h, w=w, wf=wf, nf=nf, gc=gc, dt=dt, acc_dt=jnp.float32,
-        col_ok=col_ok,
+        col_ok=col_ok, sw5=sref,
     )
     dma0.wait()
     x0c = x0blk[:, :, :nf].astype(jnp.float32)
@@ -947,6 +1065,7 @@ def rdb_res_stripe_padded(
     frame_h: int,
     frame_w: int,
     block_h: int | None = None,
+    sws: Sequence[jax.Array] | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """rdb3 + RRDB residual in padded stripe form: returns
@@ -962,11 +1081,13 @@ def rdb_res_stripe_padded(
             f"(expected {(b, hp + 2 * bh, wf, nf + cpad)})"
         )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
-    wlist = [wi.astype(xp.dtype) for wi in ws]
+    wlist = _wcast(ws, xp.dtype)
+    scale3 = _scale3(sws)
     nstripes = hp // bh
 
     kernel = functools.partial(
         _rdb_res_stripe_kernel,
+        quant=sws is not None,
         bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, gc=gc,
         nstripes=nstripes, nb=b, cpad=cpad,
     )
@@ -974,7 +1095,7 @@ def rdb_res_stripe_padded(
         kernel,
         grid=(b, nstripes),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(scale3)),
         out_specs=pl.BlockSpec(
             (1, bh, wf, nf + cpad), lambda bb, i: (bb, i + 1, 0, 0),
             memory_space=pltpu.VMEM,
@@ -994,7 +1115,7 @@ def rdb_res_stripe_padded(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, x0, *wlist, *bias3)
+    )(xp, x0, *wlist, *bias3, *scale3)
 
 
 # ---------------------------------------------------------------------------
@@ -1215,12 +1336,8 @@ def _stripe2d_window(xblk, slot, wi, nwb, he, bwf, dt, mw: int = _MW):
 
 def _rdb_stripe2d_kernel(
     xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
-    w0, w1, w2, w3, w4,
-    b1, b2, b3, b4, b5,
-    out_ref,  # (1, bh, bw, nfp) VMEM block at (batch, row-block, W-block)
-    xblk,  # scratch (2, he, bwf, nfp) — double-buffer slots
-    sem,  # DMA semaphores (2,)
-    *,
+    *refs,  # 5 weights, 5 biases, [5 scales], out_ref, xblk, sem
+    quant: bool = False,
     bh: int,
     bw: int,
     h: int,
@@ -1234,6 +1351,13 @@ def _rdb_stripe2d_kernel(
     cpad: int,
     rc: int | None = None,
 ):
+    # out_ref: (1, bh, bw, nfp) VMEM block at (batch, row-block, W-block);
+    # xblk: (2, he, bwf, nfp) double-buffer scratch; sem: DMA semaphores
+    nw = 15 if quant else 10
+    wref = refs[0:5]
+    bref = refs[5:10]
+    sref = refs[10:15] if quant else None
+    out_ref, xblk, sem = refs[nw], refs[nw + 1], refs[nw + 2]
     bi = pl.program_id(0)
     gi = pl.program_id(1)
     wi = pl.program_id(2)
@@ -1281,10 +1405,10 @@ def _rdb_stripe2d_kernel(
         gcol = cols + (wi * bw - _MW)
         col_ok = (gcol >= 0) & (gcol < w)
         out = _rdb_stage(
-            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            x, wref, bref,
             si * bh - _HALO,
             h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
-            acc_dt=jnp.float32, col_ok=col_ok, rc=rc,
+            acc_dt=jnp.float32, col_ok=col_ok, rc=rc, sw5=sref,
         )
         out = out[:, _MW : _MW + bw, :]
         if cpad:
@@ -1316,6 +1440,7 @@ def rdb_stripe2d_padded(
     block_h: int | None = None,
     block_w: int | None = None,
     row_chunk: int | None = None,
+    sws: Sequence[jax.Array] | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB forward in 2D padded stripe form: (B, hp+2*bh, wp, nfp)
@@ -1333,10 +1458,12 @@ def rdb_stripe2d_padded(
             f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
         )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
-    wlist = [wi.astype(xp.dtype) for wi in ws]
+    wlist = _wcast(ws, xp.dtype)
+    scale3 = _scale3(sws)
 
     kernel = functools.partial(
         _rdb_stripe2d_kernel,
+        quant=sws is not None,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
         rc=_stripe_rc_default(bh) if row_chunk is None else (row_chunk or None),
@@ -1345,7 +1472,7 @@ def rdb_stripe2d_padded(
         kernel,
         grid=(b, ns + 2, nwb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(scale3)),
         out_specs=pl.BlockSpec(
             (1, bh, bw, nf + cpad),
             lambda bb, i, j: (bb, i, j, 0),
@@ -1365,20 +1492,14 @@ def rdb_stripe2d_padded(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, *wlist, *bias3)
+    )(xp, *wlist, *bias3, *scale3)
 
 
 def _rdb_res_stripe2d_kernel(
     xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY — rdb2 output, 2D padded form
     x0_ref,  # (B, hp + 2*bh, wp, nfp) ANY — block input, ALIASED to out
-    w0, w1, w2, w3, w4,
-    b1, b2, b3, b4, b5,
-    out_ref,  # (1, bh, bw, nfp) VMEM block at row-block si+1, W-block wi
-    xblk,  # (2, he, bwf, nfp) input double-buffer
-    x0blk,  # (1, bh, bw, nfp) residual-source slot
-    sem,
-    sem0,
-    *,
+    *refs,  # 5 weights, 5 biases, [5 scales], out, xblk, x0blk, sem, sem0
+    quant: bool = False,
     bh: int,
     bw: int,
     h: int,
@@ -1395,6 +1516,11 @@ def _rdb_res_stripe2d_kernel(
     """rdb3 + RRDB 0.2-residual, 2D-blocked. Output aliases the block
     input's buffer: only body blocks are written, the pad-zero invariant
     is inherited — no halo grid steps."""
+    nw = 15 if quant else 10
+    wref = refs[0:5]
+    bref = refs[5:10]
+    sref = refs[10:15] if quant else None
+    out_ref, xblk, x0blk, sem, sem0 = refs[nw : nw + 5]
     bi = pl.program_id(0)
     si = pl.program_id(1)
     wi = pl.program_id(2)
@@ -1444,10 +1570,10 @@ def _rdb_res_stripe2d_kernel(
     gcol = cols + (wi * bw - _MW)
     col_ok = (gcol >= 0) & (gcol < w)
     t = _rdb_stage(
-        x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+        x, wref, bref,
         si * bh - _HALO,
         h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
-        acc_dt=jnp.float32, col_ok=col_ok, rc=rc,
+        acc_dt=jnp.float32, col_ok=col_ok, rc=rc, sw5=sref,
     )
     t = t[:, _MW : _MW + bw, :]
     dma0.wait()
@@ -1475,6 +1601,7 @@ def rdb_res_stripe2d_padded(
     block_h: int | None = None,
     block_w: int | None = None,
     row_chunk: int | None = None,
+    sws: Sequence[jax.Array] | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """rdb3 + RRDB residual in 2D padded stripe form: returns
@@ -1492,10 +1619,12 @@ def rdb_res_stripe2d_padded(
             f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
         )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
-    wlist = [wi.astype(xp.dtype) for wi in ws]
+    wlist = _wcast(ws, xp.dtype)
+    scale3 = _scale3(sws)
 
     kernel = functools.partial(
         _rdb_res_stripe2d_kernel,
+        quant=sws is not None,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
         rc=_stripe_rc_default(bh) if row_chunk is None else (row_chunk or None),
@@ -1504,7 +1633,7 @@ def rdb_res_stripe2d_padded(
         kernel,
         grid=(b, ns, nwb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(scale3)),
         out_specs=pl.BlockSpec(
             (1, bh, bw, nf + cpad),
             lambda bb, i, j: (bb, i + 1, j, 0),
@@ -1527,7 +1656,7 @@ def rdb_res_stripe2d_padded(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, x0, *wlist, *bias3)
+    )(xp, x0, *wlist, *bias3, *scale3)
 
 
 # ---------------------------------------------------------------------------
@@ -1559,6 +1688,7 @@ def _rdb_stripe2d_part_kernel(
     res: bool,  # apply the RRDB residual (x0 read from prev_ref)
     has_prev: bool,  # a prev/alias input follows xp_ref
     nomask: bool,
+    quant: bool = False,
     bh: int,
     bw: int,
     h: int,
@@ -1575,9 +1705,12 @@ def _rdb_stripe2d_part_kernel(
     xp_ref = refs[0]
     prev_ref = refs[1] if has_prev else None
     base = 1 + int(has_prev)
-    w0, w1, w2, w3, w4, b1, b2, b3, b4, b5 = refs[base : base + 10]
-    out_ref = refs[base + 10]
-    scratch = refs[base + 11 :]
+    nw = 15 if quant else 10
+    wref = refs[base : base + 5]
+    bref = refs[base + 5 : base + 10]
+    sref = refs[base + 10 : base + 15] if quant else None
+    out_ref = refs[base + nw]
+    scratch = refs[base + nw + 1 :]
     xblk, sem = scratch[0], scratch[1]
     if res:
         x0blk, sem0 = scratch[2], scratch[3]
@@ -1679,10 +1812,11 @@ def _rdb_stripe2d_part_kernel(
             gcol = cols + (wi * bw - _MW)
             col_ok = (gcol >= 0) & (gcol < w)
         t = _rdb_stage(
-            x, (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+            x, wref, bref,
             si * bh - _HALO,
             h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
             acc_dt=jnp.float32, col_ok=col_ok, rc=rc, nomask=nomask,
+            sw5=sref,
         )
         t = t[:, _MW : _MW + bw, :]
         if res:
@@ -1741,6 +1875,7 @@ def rdb_stripe2d_split(
     x0: jax.Array | None = None,
     row_chunk: int | None = None,
     res: bool = False,
+    sws: Sequence[jax.Array] | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB (optionally + RRDB residual when ``res``/``x0``) in 2D
@@ -1762,7 +1897,8 @@ def rdb_stripe2d_split(
     if res != (x0 is not None):
         raise ValueError("res=True requires x0 (and vice versa)")
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
-    wlist = [wi.astype(xp.dtype) for wi in ws]
+    wlist = _wcast(ws, xp.dtype)
+    scale3 = _scale3(sws)
     rc = _stripe_rc_default(bh) if row_chunk is None else (row_chunk or None)
 
     kw = dict(
@@ -1791,10 +1927,14 @@ def rdb_stripe2d_split(
     def call(part, nomask, grid, index_map, prev):
         kernel = functools.partial(
             _rdb_stripe2d_part_kernel,
-            part=part, nomask=nomask, has_prev=prev is not None, **kw
+            part=part, nomask=nomask, has_prev=prev is not None,
+            quant=sws is not None, **kw
         )
-        ins = [xp] + ([prev] if prev is not None else []) + wlist + bias3
-        nconst = 10
+        ins = (
+            [xp] + ([prev] if prev is not None else [])
+            + wlist + bias3 + scale3
+        )
+        nconst = 10 + len(scale3)
         return pl.pallas_call(
             kernel,
             grid=grid,

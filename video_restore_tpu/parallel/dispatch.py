@@ -297,14 +297,19 @@ class ShardedUpscaler:
         self._cfg_frames_per_batch = max(
             getattr(cfg, "frames_per_batch", 0), 1
         )
+        # int8 selects the W8A8 stripe body; inter-kernel activations
+        # (and every non-body stage) stay bf16
         self.compute_dtype = (
-            jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+            jnp.float32 if cfg.precision == "fp32" else jnp.bfloat16
         )
         axis = self.mesh.axis_names[0]
 
         self._repl = NamedSharding(self.mesh, P())
         self._shard0 = NamedSharding(self.mesh, P(axis))
-        prepared_params, model_apply = model.prepared(self.compute_dtype)
+        prepared_params, model_apply = model.prepared(
+            self.compute_dtype,
+            precision="int8" if cfg.precision == "int8" else "bf16",
+        )
         self.params = jax.device_put(prepared_params, self._repl)
 
         if self.shard_mode == "tiles":
