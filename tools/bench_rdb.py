@@ -216,17 +216,21 @@ def main():
 
             bench(mode, step, xp, wb, shape=(bb, hh, ww))
 
-        elif mode.startswith("s2s"):
+        elif mode.startswith("s2s") or mode.startswith("s2q"):
             # s2s:BH:BW[:H:W:B] — split edge/interior launches (masked
-            # ring in two calls, mask-free interior in a third)
+            # ring in two calls, mask-free interior in a third);
+            # s2q:BH:BW — the same launches with the int8 W8A8 body
+            # (quantize_prefix_weights + in-kernel activation scales)
             from video_restore_tpu.ops.pallas_stripe import (
                 pad_stripe2d_entry,
                 production_prefix_weights,
+                quantize_prefix_weights,
                 rdb_stripe2d_split,
                 stripe2d_split_ok,
             )
 
             parts = mode.split(":")
+            quant = mode.startswith("s2q")
             bh, bw = int(parts[1]), int(parts[2])
             hh = int(parts[3]) if len(parts) > 3 else H
             ww = int(parts[4]) if len(parts) > 4 else W
@@ -234,10 +238,19 @@ def main():
             assert stripe2d_split_ok(hh, ww, bh, bw), "no interior"
             ws, bs = prefix_rdb_weights(rdb, NF, GC)
             ws = production_prefix_weights(ws)
-            wb = (
-                tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
-                tuple(jnp.asarray(b) for b in bs),
-            )
+            if quant:
+                qws, sws = quantize_prefix_weights(ws)
+                wb = (
+                    tuple(qws),
+                    tuple(jnp.asarray(b) for b in bs),
+                    tuple(sws),
+                )
+            else:
+                wb = (
+                    tuple(jnp.asarray(w, jnp.bfloat16) for w in ws),
+                    tuple(jnp.asarray(b) for b in bs),
+                    None,
+                )
             x2 = jnp.asarray(rng.random((bb, hh, ww, NF)), jnp.bfloat16)
             xp = pad_stripe2d_entry(x2, block_h=bh, block_w=bw)
 
@@ -246,7 +259,7 @@ def main():
                 def body(h, _):
                     return (
                         rdb_stripe2d_split(
-                            h, wb[0], wb[1],
+                            h, wb[0], wb[1], sws=wb[2],
                             frame_h=hh, frame_w=ww,
                             block_h=bh, block_w=bw,
                         ),
