@@ -218,3 +218,90 @@ def test_srvgg_up_fused_parity(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+def _psnr_srvgg(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    rng_ = np.asarray(b).max() - np.asarray(b).min()
+    return 10 * np.log10(rng_ * rng_ / max(mse, 1e-20))
+
+
+def test_srvgg_stripe2d_int8(rng):
+    """W8A8 SRVGG 2D body (quantize_prefix_weights on the grouped stack)
+    vs the fp32 chain: 4 chained quantized convs on synthetic 0.3-scale
+    weights land ~50 dB (real-init full-model parity is 83-92 dB,
+    tools/precision_ab.py); pad-zero invariant held. Both the pack and
+    roll (per-dx) contraction forms."""
+    from video_restore_tpu.ops.conv import conv2d, prelu
+    from video_restore_tpu.ops.pallas_srvgg import (
+        fold_dy,
+        srvgg_stripe2d_padded,
+    )
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        quantize_prefix_weights,
+        unpad_stripe2d_exit,
+    )
+
+    nf, g = 16, 4
+    b, h, w = 1, 56, 73
+    bh, bw = 24, 40
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ws = jnp.asarray(
+        (rng.random((g, 3, 3, nf, nf)) - 0.5) * 0.3, jnp.float32
+    )
+    bs = jnp.asarray(rng.random((g, nf)) * 0.1, jnp.float32)
+    al = jnp.asarray(rng.random((g, nf)) * 0.5, jnp.float32)
+
+    ref = x
+    for i in range(g):
+        ref = prelu(conv2d(ref, ws[i], bs[i]), al[i])
+    ref = np.asarray(ref)
+
+    wd = fold_dy(ws)
+    for name, wk in {
+        "roll": wd,
+        "pack": jnp.swapaxes(wd, -3, -2).reshape(g, 3 * nf, 3 * nf),
+    }.items():
+        (qw,), (sw,) = quantize_prefix_weights((wk,))
+        assert qw.dtype == jnp.int8 and sw.shape == (g, nf)
+        xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+        o = srvgg_stripe2d_padded(
+            xp, qw, bs, al, frame_h=h, frame_w=w, group=g,
+            block_h=bh, block_w=bw, sws=sw, interpret=True,
+        )
+        out = unpad_stripe2d_exit(o, h, w, nf, block_h=bh, block_w=bw)
+        assert _psnr_srvgg(out, ref) > 48.0, name
+        op = np.asarray(o)
+        assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+        assert np.all(op[:, :, w:] == 0)
+
+
+def test_srvgg_model_int8_path(rng, monkeypatch):
+    """Full SRVGG model with precision='int8' (2D pack body, interpret)
+    stays within a fraction of a dB of the fp32 XLA path."""
+    from unittest import mock
+
+    from video_restore_tpu.ops import pallas_srvgg as pk
+
+    monkeypatch.setenv("VRT_SRVGG_2D", "24x40")
+    monkeypatch.setenv("VRT_SRVGG_KFORM", "pack")
+    monkeypatch.setenv("VRT_SRVGG_GROUP", "4")
+    monkeypatch.setenv("VRT_SRVGG_UP", "0")
+    spec = SRVGGSpec(num_feat=16, num_conv=8)
+    params = init_srvgg(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 48, 73, 3)).astype(np.float32))
+    ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
+
+    orig = pk.srvgg_stripe2d_padded
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pk, "srvgg_stripe2d_padded", interp):
+        got = np.asarray(
+            apply_srvgg(params, x, spec, stripe=True, precision="int8")
+        )
+    assert got.shape == ref.shape
+    assert _psnr_srvgg(got, ref) > 45.0

@@ -108,18 +108,29 @@ def main():
 
             bench(mode, step, x, wb)
 
-        elif mode.startswith("s2d"):
+        elif mode.startswith("s2d") or mode.startswith("s2q"):
+            # s2q:BH:BW[:G] — the 2D body with the int8 W8A8 path
             bh, bw = int(parts[1]), int(parts[2])
             g = int(parts[3]) if len(parts) > 3 else 8
+            quant = mode.startswith("s2q")
             ngroups = NCONV // g
             wsg = kform_weights(wall, ngroups, g, NF)
             bsg = params["body"]["b"].reshape(ngroups, g, NF)
             asg = params["body"]["alpha"].reshape(ngroups, g, NF)
-            wb = (
-                jnp.asarray(wsg, jnp.bfloat16),
-                jnp.asarray(bsg),
-                jnp.asarray(asg),
-            )
+            if quant:
+                from video_restore_tpu.ops.pallas_stripe import (
+                    quantize_prefix_weights,
+                )
+
+                (qw,), (sw,) = quantize_prefix_weights((wsg,))
+                wb = (qw, jnp.asarray(bsg), jnp.asarray(asg), sw)
+            else:
+                wb = (
+                    jnp.asarray(wsg, jnp.bfloat16),
+                    jnp.asarray(bsg),
+                    jnp.asarray(asg),
+                    None,
+                )
 
             @jax.jit
             def step(x, wb, g=g, bh=bh, bw=bw):
@@ -128,7 +139,7 @@ def main():
                 def gstep(hc, gw):
                     return (
                         srvgg_stripe2d_padded(
-                            hc, gw[0], gw[1], gw[2],
+                            hc, gw[0], gw[1], gw[2], sws=gw[3],
                             frame_h=H, frame_w=W, group=g,
                             block_h=bh, block_w=bw,
                         ),

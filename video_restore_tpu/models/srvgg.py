@@ -114,9 +114,10 @@ def _stripe_kform(two_d: bool = False) -> str:
     return "pack" if two_d else "roll"
 
 
-@partial(jax.jit, static_argnames=("scale", "stripe"))
+@partial(jax.jit, static_argnames=("scale", "stripe", "precision"))
 def _apply(
-    params: Params, x: jax.Array, scale: int, stripe: bool = False
+    params: Params, x: jax.Array, scale: int, stripe: bool = False,
+    precision: str = "bf16",
 ) -> jax.Array:
     from video_restore_tpu.models.rrdbnet import default_use_glue_kernel
 
@@ -173,6 +174,15 @@ def _apply(
             wsg = wsg.reshape(ngroups, g, 3, 3 * nf, nf)
         bsg = params["body"]["b"].reshape(ngroups, g, nf)
         asg = params["body"]["alpha"].reshape(ngroups, g, nf)
+        # W8A8 int8 body (rrdbnet.default_precision; not wired for the
+        # opt-in im2col contraction form — it stays bf16 there)
+        ssg = None
+        if precision == "int8" and kform != "im2col":
+            from video_restore_tpu.ops.pallas_stripe import (
+                quantize_prefix_weights,
+            )
+
+            (wsg,), (ssg,) = quantize_prefix_weights((wsg,))
 
         if blocks is not None:
             # full-frame 2D-blocked body: no tile overlap, margin-DMA
@@ -182,11 +192,11 @@ def _apply(
             xp = pad_stripe2d_entry(feat, block_h=bh2, block_w=bw2)
 
             def gstep(hc, gw):
-                wg, bg, ag = gw
+                wg, bg, ag, sg = gw
                 return (
                     srvgg_stripe2d_padded(
                         hc, wg, bg, ag, frame_h=fh, frame_w=fw,
-                        group=g, block_h=bh2, block_w=bw2,
+                        group=g, block_h=bh2, block_w=bw2, sws=sg,
                     ),
                     None,
                 )
@@ -198,7 +208,7 @@ def _apply(
             import os as _os
 
             _unr = int(_os.environ.get("VRT_SRVGG_UNROLL", "0")) or ngroups
-            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg), unroll=_unr)
+            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg, ssg), unroll=_unr)
             feat = unpad_stripe2d_exit(
                 xp, fh, fw, nf, block_h=bh2, block_w=bw2
             )
@@ -206,15 +216,16 @@ def _apply(
             xp = pad_stripe_entry(feat)
 
             def gstep(hc, gw):
-                wg, bg, ag = gw
+                wg, bg, ag, sg = gw
                 return (
                     srvgg_stripe_padded(
-                        hc, wg, bg, ag, frame_h=fh, frame_w=fw, group=g
+                        hc, wg, bg, ag, frame_h=fh, frame_w=fw, group=g,
+                        sws=sg,
                     ),
                     None,
                 )
 
-            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg))
+            xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg, ssg))
             feat = unpad_stripe_exit(xp, fh, fw, nf)
     else:
         def step(h, bp):
@@ -245,8 +256,17 @@ def apply_srvgg(
     x: jax.Array,
     spec: SRVGGSpec,
     stripe: "bool | None" = None,
+    precision: "str | None" = None,
 ) -> jax.Array:
-    """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3)."""
+    """Forward pass. x: (N, H, W, 3) float in [0, 1]. Returns (N, H*s, W*s, 3).
+
+    ``precision`` ("bf16"/"int8", default VRT_PRECISION): int8 runs the
+    stripe-form conv+PReLU body as W8A8 MXU dots (see
+    rrdbnet.default_precision); stripe-mode only."""
     if stripe is None:
         stripe = default_use_srvgg_stripe()
-    return _apply(params, x, spec.scale, stripe)
+    if precision is None:
+        from video_restore_tpu.models.rrdbnet import default_precision
+
+        precision = default_precision()
+    return _apply(params, x, spec.scale, stripe, precision=precision)

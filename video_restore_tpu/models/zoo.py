@@ -127,7 +127,9 @@ class ModelHandle:
         m = self.cast(dtype)
         spec = self.spec
         if not isinstance(spec, RRDBNetSpec):
-            return m.params, (lambda p, x: apply_srvgg(p, x, spec))
+            return m.params, (
+                lambda p, x: apply_srvgg(p, x, spec, precision=precision)
+            )
         from video_restore_tpu.models.rrdbnet import (
             _apply,
             prepare_rrdbnet,

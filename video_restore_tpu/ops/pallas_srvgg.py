@@ -45,13 +45,8 @@ def fold_dy(w: jax.Array) -> jax.Array:
 
 def _srvgg_stripe_kernel(
     xp_ref,  # (B, hp + 2*bh, Wf, nfp) ANY — padded input
-    w_ref,  # (G, 3, 3*nf, nf) per-dx or (G, 9*nf, nf) im2col, VMEM
-    b_ref,  # (G, 1, nf) VMEM fp32 biases
-    a_ref,  # (G, 1, nf) VMEM fp32 PReLU alphas
-    out_ref,  # (1, bh, Wf, nfp) VMEM block
-    xblk,  # (2, bh + 2*G, Wf, nfp) input double-buffer
-    sem,
-    *,
+    *refs,  # w, b, alpha, [scales], out_ref, xblk, sem
+    quant: bool = False,
     bh: int,
     h: int,
     w: int,
@@ -62,6 +57,13 @@ def _srvgg_stripe_kernel(
     nb: int,
     cpad: int,
 ):
+    # w_ref: (G, 3, 3nf, nf) per-dx / (G, 9nf, nf) im2col weights (int8
+    # when quant); b_ref/a_ref: (G, 1, nf) fp32 biases / PReLU alphas;
+    # s_ref (quant only): (G, 1, nf) fp32 per-out-channel weight scales
+    nw = 4 if quant else 3
+    w_ref, b_ref, a_ref = refs[0:3]
+    s_ref = refs[3] if quant else None
+    out_ref, xblk, sem = refs[nw], refs[nw + 1], refs[nw + 2]
     bi = pl.program_id(0)
     gi = pl.program_id(1)
     si = gi - 1
@@ -97,7 +99,9 @@ def _srvgg_stripe_kernel(
         t = x
         top = si * bh - group
         for g in range(group):
-            acc = _conv_prefix(t, w_ref[g]) + b_ref[g]  # (e-2, wf, nf) f32
+            acc = _conv_prefix(
+                t, w_ref[g], sw=None if s_ref is None else s_ref[g]
+            ) + b_ref[g]  # (e-2, wf, nf) f32
             acc = jnp.where(acc >= 0, acc, acc * a_ref[g])  # PReLU
             e = acc.shape[0]
             rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
@@ -134,10 +138,12 @@ def srvgg_stripe_padded(
     frame_w: int,
     group: int,
     block_h: int | None = None,
+    sws: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``group`` chained conv3x3+PReLU layers in padded stripe form:
-    (B, hp+2*bh, Wf, nfp) -> same shape, chainable."""
+    (B, hp+2*bh, Wf, nfp) -> same shape, chainable. ``sws`` (G, nf)
+    selects the W8A8 int8 path (ws int8, quantize_prefix_weights)."""
     b, hp2, wf_in, nfp = xp.shape
     nf = ws.shape[-1]
     wf, cpad, bh, hp = _geometry(frame_h, frame_w, nf, block_h)
@@ -152,14 +158,19 @@ def srvgg_stripe_padded(
 
     kernel = functools.partial(
         _srvgg_stripe_kernel,
+        quant=sws is not None,
         bh=bh, h=frame_h, w=frame_w, wf=wf, nf=nf, group=group,
         nstripes=nstripes, nb=b, cpad=cpad,
+    )
+    scale_in = (
+        [] if sws is None
+        else [sws.reshape(group, 1, nf).astype(jnp.float32)]
     )
     return pl.pallas_call(
         kernel,
         grid=(b, nstripes + 2),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(scale_in)),
         out_specs=pl.BlockSpec(
             (1, bh, wf, nf + cpad), lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -178,9 +189,10 @@ def srvgg_stripe_padded(
         interpret=interpret,
     )(
         xp,
-        ws.astype(xp.dtype),
+        ws if ws.dtype == jnp.int8 else ws.astype(xp.dtype),
         bs.reshape(group, 1, nf).astype(jnp.float32),
         alphas.reshape(group, 1, nf).astype(jnp.float32),
+        *scale_in,
     )
 
 
@@ -263,13 +275,8 @@ def srvgg_stripe2d_selection(
 
 def _srvgg_stripe2d_kernel(
     xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
-    w_ref,  # (G, 3, 3nf, nf) per-dx / (G, 3nf, 3nf) N-packed / im2col
-    b_ref,  # (G, 1, nf) fp32
-    a_ref,  # (G, 1, nf) fp32 PReLU alphas
-    out_ref,  # (1, bh, bw, nfp) VMEM block
-    xblk,  # (2, bh + 2*G, bwf, nfp)
-    sem,
-    *,
+    *refs,  # w, b, alpha, [scales], out_ref, xblk, sem
+    quant: bool = False,
     bh: int,
     bw: int,
     h: int,
@@ -282,6 +289,13 @@ def _srvgg_stripe2d_kernel(
     nb: int,
     cpad: int,
 ):
+    # w_ref: (G, 3, 3nf, nf) per-dx / (G, 3nf, 3nf) N-packed / im2col
+    # (int8 when quant); b_ref/a_ref: (G, 1, nf) fp32 biases / alphas;
+    # s_ref (quant only): (G, 1, nf) fp32 weight scales
+    nw = 4 if quant else 3
+    w_ref, b_ref, a_ref = refs[0:3]
+    s_ref = refs[3] if quant else None
+    out_ref, xblk, sem = refs[nw], refs[nw + 1], refs[nw + 2]
     bi = pl.program_id(0)
     gi = pl.program_id(1)
     wi = pl.program_id(2)
@@ -322,7 +336,9 @@ def _srvgg_stripe2d_kernel(
         col_ok = (gcol >= 0) & (gcol < w)
         top = si * bh - group
         for g in range(group):
-            acc = _conv_prefix(t, w_ref[g]) + b_ref[g]
+            acc = _conv_prefix(
+                t, w_ref[g], sw=None if s_ref is None else s_ref[g]
+            ) + b_ref[g]
             acc = jnp.where(acc >= 0, acc, acc * a_ref[g])  # PReLU
             e = acc.shape[0]
             rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
@@ -362,10 +378,12 @@ def srvgg_stripe2d_padded(
     group: int,
     block_h: int,
     block_w: int,
+    sws: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``group`` chained conv3x3+PReLU layers in 2D padded stripe form:
-    (B, hp+2*bh, wp, nfp) -> same shape, chainable (pad zeros exact)."""
+    (B, hp+2*bh, wp, nfp) -> same shape, chainable (pad zeros exact).
+    ``sws`` (G, nf) selects the W8A8 int8 path (ws int8)."""
     b, hp2, wp_in, nfp = xp.shape
     # per-dx (G,3,3nf,nf) and im2col (G,9nf,nf) end in nf; the N-packed
     # square (G,3nf,3nf) ends in 3nf
@@ -394,14 +412,19 @@ def srvgg_stripe2d_padded(
 
     kernel = functools.partial(
         _srvgg_stripe2d_kernel,
+        quant=sws is not None,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, group=group,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
+    )
+    scale_in = (
+        [] if sws is None
+        else [sws.reshape(group, 1, nf).astype(jnp.float32)]
     )
     return pl.pallas_call(
         kernel,
         grid=(b, ns + 2, nwb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(scale_in)),
         out_specs=pl.BlockSpec(
             (1, bh, bw, nf + cpad),
             lambda bb, i, j: (bb, i, j, 0),
@@ -423,9 +446,10 @@ def srvgg_stripe2d_padded(
         interpret=interpret,
     )(
         xp,
-        ws.astype(xp.dtype),
+        ws if ws.dtype == jnp.int8 else ws.astype(xp.dtype),
         bs.reshape(group, 1, nf).astype(jnp.float32),
         alphas.reshape(group, 1, nf).astype(jnp.float32),
+        *scale_in,
     )
 
 
