@@ -240,11 +240,20 @@ def _quant_act(ak):
     """A8 of the W8A8 body: dynamic symmetric per-chunk activation
     quantization (scale = amax/127 over the row chunk, computed in VMEM —
     a VPU reduce over data already resident, ~us against ms of matmul).
-    Returns (int8 tensor, fp32 scalar scale)."""
-    akf = ak.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(akf))
+    Returns (int8 tensor, fp32 scalar scale).
+
+    VMEM discipline: the elementwise chain stays in the INPUT dtype —
+    an fp32 staging copy of the chunk pushed the production split kernel
+    8.05M over the 128M VMEM limit (round-5 compile record). Integers up
+    to 256 are exact in bf16, so round/clip at the +-127 range lose
+    nothing; the bf16 multiply's ~2^-9 relative error only shifts
+    rounding boundaries (a fraction of the quantization LSB that is
+    already the noise floor). amax is max/-min of the resident chunk —
+    no jnp.abs materialization."""
+    amax = jnp.maximum(jnp.max(ak), -jnp.min(ak)).astype(jnp.float32)
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    qa = jnp.clip(jnp.round(akf * (1.0 / sa)), -127.0, 127.0)
+    inv = (1.0 / sa).astype(ak.dtype)
+    qa = jnp.clip(jnp.round(ak * inv), -127.0, 127.0)
     return qa.astype(jnp.int8), sa
 
 
