@@ -305,3 +305,73 @@ def test_srvgg_model_int8_path(rng, monkeypatch):
         )
     assert got.shape == ref.shape
     assert _psnr_srvgg(got, ref) > 45.0
+
+
+def test_srvgg_up_fused_raw_parity(rng):
+    """Raw-input fused upsampler (consumes the 2D padded body array in
+    place) == conv + pixel_shuffle + nearest skip, exactly — including
+    the frame edges (rows via the body's zero halo blocks, columns via
+    the edge-zeroed taps) and hp>h / wp>w masking."""
+    from video_restore_tpu.ops.conv import (
+        conv2d,
+        pixel_shuffle,
+        upsample_nearest,
+    )
+    from video_restore_tpu.ops.pallas_srvgg import srvgg_up_fused_raw
+    from video_restore_tpu.ops.pallas_stripe import pad_stripe2d_entry
+
+    nf, r = 16, 4
+    b, h, w = 1, 56, 73
+    bh2, bw2 = 24, 40  # hp=72>56, wp=80>73
+    feat = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    x_in = jnp.asarray(rng.random((b, h, w, 3)).astype(np.float32))
+    w_out = jnp.asarray(
+        (rng.random((3, 3, nf, 3 * r * r)) - 0.5) * 0.3, jnp.float32
+    )
+    b_out = jnp.asarray(rng.random((3 * r * r)) * 0.1, jnp.float32)
+
+    ref = pixel_shuffle(conv2d(feat, w_out, b_out), r) + upsample_nearest(
+        x_in, r
+    )
+    xp = pad_stripe2d_entry(feat, block_h=bh2, block_w=bw2)
+    got = srvgg_up_fused_raw(
+        xp, w_out, b_out, x_in, r=r, frame_h=h, frame_w=w,
+        block_h2=bh2, block_w2=bw2, interpret=True,
+    )
+    assert got.shape == (b, r * h, r * w, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_srvgg_model_stripe2d_raw_up(rng, monkeypatch):
+    """Full model through the 2D body + the raw-input upsampler branch
+    == the XLA scan path."""
+    from unittest import mock
+
+    from video_restore_tpu.ops import pallas_srvgg as pk
+
+    monkeypatch.setenv("VRT_SRVGG_2D", "24x40")
+    monkeypatch.setenv("VRT_SRVGG_KFORM", "pack")
+    monkeypatch.setenv("VRT_SRVGG_GROUP", "4")
+    spec = SRVGGSpec(num_feat=16, num_conv=8)
+    params = init_srvgg(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 48, 73, 3)).astype(np.float32))
+    ref = np.asarray(apply_srvgg(params, x, spec, stripe=False))
+
+    orig_b = pk.srvgg_stripe2d_padded
+    orig_u = pk.srvgg_up_fused_raw
+
+    def interp_b(*a, **k):
+        k.setdefault("interpret", True)
+        return orig_b(*a, **k)
+
+    def interp_u(*a, **k):
+        k.setdefault("interpret", True)
+        return orig_u(*a, **k)
+
+    with mock.patch.object(
+        pk, "srvgg_stripe2d_padded", interp_b
+    ), mock.patch.object(pk, "srvgg_up_fused_raw", interp_u):
+        got = np.asarray(apply_srvgg(params, x, spec, stripe=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

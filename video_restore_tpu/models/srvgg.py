@@ -209,6 +209,25 @@ def _apply(
 
             _unr = int(_os.environ.get("VRT_SRVGG_UNROLL", "0")) or ngroups
             xp, _ = lax.scan(gstep, xp, (wsg, bsg, asg, ssg), unroll=_unr)
+            if (
+                scale in (2, 4)
+                and _os.environ.get("VRT_SRVGG_UP", "1") != "0"
+                and _os.environ.get("VRT_SRVGG_UP_RAW", "1") != "0"
+            ):
+                # raw-input fused upsampler: consumes the 2D padded body
+                # array in place — the unpad slice + the up kernel's
+                # re-pad each rewrote the ~265MB body output for pure
+                # layout reasons (round-5; config-4 trace showed ~13
+                # ms/frame of boundary copies+pads at 8.078)
+                from video_restore_tpu.ops.pallas_srvgg import (
+                    srvgg_up_fused_raw,
+                )
+
+                return srvgg_up_fused_raw(
+                    xp, params["conv_out"]["w"], params["conv_out"]["b"],
+                    x, r=scale, frame_h=fh, frame_w=fw,
+                    block_h2=bh2, block_w2=bw2,
+                )
             feat = unpad_stripe2d_exit(
                 xp, fh, fw, nf, block_h=bh2, block_w=bw2
             )

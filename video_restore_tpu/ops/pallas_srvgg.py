@@ -643,3 +643,193 @@ def srvgg_up_fused(
     # blocks ARE adjacent fine columns (free reshape), then crop
     out = out.reshape(b, r * hp, r * wf, opad)
     return out[:, : r * h, r * _PADL : r * _PADL + r * w, :cout]
+
+
+# ---------------------------------------------------------------------------
+# Raw-input fused upsampler (round 5): consume the BODY'S 2D PADDED array
+# directly — no unpad_stripe2d_exit slice, no re-pad, no _PADL margin.
+# The config-4 trace at 8.078 showed ~8 ms/frame of up-kernel boundary
+# copies and ~5 ms of pads; the exit-slice + entry-pad pair rewrites the
+# ~265MB body output twice for pure layout reasons. Same trick as
+# ops/pallas_tail.tail_fused_raw: automatic BlockSpec pipelining of the
+# producer's layout (main stripe blocks + two 1-row halo strips of the
+# same array — the idiom that compiles where every manual in-VMEM unpack
+# failed to lower, BENCH_NOTES round 4), with the roll-wrap columns
+# explicitly zeroed (the frame starts at column 0 here, so there is no
+# pad margin for the wrap garbage to die in; zeroing the two edge
+# columns of the +-1 tap partials reproduces SAME semantics exactly).
+# ---------------------------------------------------------------------------
+
+
+def _conv_chunked_edge(a, w, post, rc: int):
+    """_conv_chunked (ops/pallas_tail) with explicit frame-edge column
+    semantics: the dx=-1 partial's wrapped column 0 and the dx=+1
+    partial's wrapped last column are zeroed (SAME conv at the frame's
+    W edges, no pad margin)."""
+    e, wp, cin = a.shape
+    oh = e - 2
+    n = w.shape[1] // 3
+    outs = []
+    for r0 in range(0, oh, rc):
+        r1 = min(r0 + rc, oh)
+        ak = jnp.concatenate(
+            [a[r0:r1], a[r0 + 1 : r1 + 1], a[r0 + 2 : r1 + 2]], axis=2
+        )
+        p = lax.dot_general(
+            ak, w,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q = None
+        for i, d in enumerate((-1, 0, 1)):
+            part = pltpu.roll(p[:, :, i * n : (i + 1) * n], (wp - d) % wp, 1) if d else p[:, :, i * n : (i + 1) * n]
+            z = jnp.zeros((r1 - r0, 1, n), jnp.float32)
+            if d == -1:
+                part = jnp.concatenate([z, part[:, 1:]], axis=1)
+            elif d == 1:
+                part = jnp.concatenate([part[:, :-1], z], axis=1)
+            q = part if q is None else q + part
+        outs.append(post(q, r0))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _srvgg_up_raw_kernel(
+    top_ref,  # (1, 1, wp, lanes) — row above the stripe (body array)
+    mid_ref,  # (1, bh, wp, lanes) — the stripe
+    bot_ref,  # (1, 1, wp, lanes) — row below
+    sp_ref,  # (1, bh, wp, 64) — phase-replicated skip block
+    ku,  # (3*cin, 3*r*64) dx-packed phase kernel, VMEM
+    bu,  # (1, 1, r*64) fp32
+    out_ref,  # (1, r*bh, wp, 64) VMEM block
+    *,
+    bh: int,
+    cin: int,
+    r: int,
+    rc: int,
+):
+    x = jnp.concatenate([top_ref[0], mid_ref[0], bot_ref[0]], axis=0)
+    x = x[:, :, :cin]
+    skip = sp_ref[0]
+    dt = x.dtype
+
+    def post(q, r0):
+        q = q + bu[0]
+        s = skip[r0 : r0 + q.shape[0]].astype(jnp.float32)
+        if r > 1:
+            s = jnp.concatenate([s] * r, axis=2)  # per-a-phase addend
+        return (q + s).astype(dt)
+
+    y = _conv_chunked_edge(x, ku[:], post, rc)  # (bh, wp, r*64)
+    parts = [y[:, :, i * 64 : (i + 1) * 64] for i in range(r)]
+    t = jnp.stack(parts, axis=1)  # (bh, r, wp, 64)
+    out_ref[0] = t.reshape(bh * r, y.shape[1], 64)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "r", "frame_h", "frame_w", "block_h2", "block_w2", "row_chunk",
+        "interpret",
+    ),
+)
+def srvgg_up_fused_raw(
+    xp: jax.Array,  # the BODY's 2D padded output (B, hp2+2*bh2, wp, nfp)
+    w_out: jax.Array,
+    b_out: jax.Array,
+    x_in: jax.Array,  # (B, h, w, cout) LR input (nearest-skip source)
+    *,
+    r: int = 4,
+    frame_h: int,
+    frame_w: int,
+    block_h2: int,
+    block_w2: int,
+    row_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """``pixel_shuffle(conv2d(body_out, w_out, b_out), r) +
+    upsample_nearest(x_in, r)`` consuming the 2D padded body array
+    in place: (B, hp2+2*bh2, wp, nfp) + (B, h, w, cout) ->
+    (B, r*h, r*w, cout). The body's pad regions are exact zeros, which
+    IS the conv's SAME padding at every frame edge (rows from the halo
+    blocks, columns from the explicit edge-zeroed taps)."""
+    b, hp22, wp, nfp = xp.shape
+    h, w = frame_h, frame_w
+    if 64 % r:
+        raise ValueError(f"srvgg_up_fused_raw supports r dividing 64 (got {r})")
+    bh2, bw2 = block_h2, block_w2
+    if bh2 % 8:
+        raise ValueError(f"body block_h {bh2} must be a multiple of 8")
+    nf = w_out.shape[-2]
+    cout = w_out.shape[-1] // (r * r)
+    opad = 64 // r
+    bh = 8  # 8 | bh2 always (body geometry steps by 8), so the main
+    # BlockSpec's row offset bh2//bh is exact
+    hp = h + (bh - h % bh) % bh
+    nstripes = hp // bh
+    # every window row must exist: stripe si reads rows
+    # [bh2 + si*bh - 1, bh2 + si*bh + bh + 1) of the body array
+    if bh2 + hp + 1 > hp22:
+        raise ValueError(
+            f"body padded array too short for the raw up kernel "
+            f"({hp22} rows, need {bh2 + hp + 1})"
+        )
+    # phase-replicated skip: lanes (b, o_pad) so adding it to each
+    # 64-lane a-block IS the nearest-r upsample; 64-minor (the proven
+    # BlockSpec-pipelined layout — no 128-lane pad rewrite)
+    sk = jnp.pad(x_in, ((0, 0), (0, 0), (0, 0), (0, opad - cout)))
+    sk = jnp.tile(sk, (1, 1, 1, r))  # (B, h, w, 64)
+    sp = jnp.pad(sk, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    wk, bk = _up_phase_weights(w_out, b_out, r)
+    from video_restore_tpu.ops.pallas_tail import (
+        pack_prefix_weights_generic,
+    )
+
+    ku = pack_prefix_weights_generic(wk).astype(xp.dtype)
+    bu = bk.reshape(1, 1, -1).astype(jnp.float32)
+    rc = max(2, min(row_chunk, (row_chunk * 1024) // wp))
+
+    kernel = functools.partial(
+        _srvgg_up_raw_kernel, bh=bh, cin=nf, r=r, rc=rc,
+    )
+    row0 = bh2 // bh  # frame row 0 in bh-block units
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nstripes),
+        in_specs=[
+            pl.BlockSpec(  # top halo row (1-row blocks: any offset)
+                (1, 1, wp, nfp),
+                lambda bb, i: (bb, bh2 + i * bh - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # main stripe
+                (1, bh, wp, nfp),
+                lambda bb, i: (bb, row0 + i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # bottom halo row
+                (1, 1, wp, nfp),
+                lambda bb, i: (bb, bh2 + i * bh + bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # skip block (64-minor)
+                (1, bh, wp, 64),
+                lambda bb, i: (bb, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r * bh, wp, 64), lambda bb, i: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r * hp, wp, 64), xp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, xp, xp, sp, ku, bu)
+    # (B, r*hp, wp, (b, o_pad)) -> (B, r*hp, r*wp, o_pad): free reshape
+    out = out.reshape(b, r * hp, r * wp, opad)
+    return out[:, : r * h, : r * w, :cout]

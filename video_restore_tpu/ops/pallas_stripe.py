@@ -249,8 +249,14 @@ def _quant_act(ak):
     nothing; the bf16 multiply's ~2^-9 relative error only shifts
     rounding boundaries (a fraction of the quantization LSB that is
     already the noise floor). amax is max/-min of the resident chunk —
-    no jnp.abs materialization."""
-    amax = jnp.maximum(jnp.max(ak), -jnp.min(ak)).astype(jnp.float32)
+    no jnp.abs materialization.
+
+    Scale and its reciprocal stay (1, 1, 1) ARRAYS end to end — Mosaic
+    converts only 32-bit values to scalars, so a bf16 scalar squeeze
+    fails to lower; the broadcasts are free splats."""
+    mx = jnp.max(ak, keepdims=True)
+    mn = jnp.min(ak, keepdims=True)
+    amax = jnp.maximum(mx, -mn).astype(jnp.float32)
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     inv = (1.0 / sa).astype(ak.dtype)
     qa = jnp.clip(jnp.round(ak * inv), -127.0, 127.0)

@@ -55,6 +55,7 @@ KNOWN_KNOBS = frozenset(
         "VRT_SRVGG_STRIPE",
         "VRT_SRVGG_UNROLL",
         "VRT_SRVGG_UP",
+        "VRT_SRVGG_UP_RAW",
         "VRT_STRIPE",
         "VRT_STRIPE2D",
         "VRT_STRIPE_RC",
