@@ -60,7 +60,9 @@ def main() -> int:
         model_name="RealESRGAN_x4plus",
         tile_size=tile,
         tile_overlap=32,
-        precision="bf16",
+        # VRT_PRECISION=int8 A/Bs the W8A8 stripe body through the same
+        # production step (models/rrdbnet.py default_precision)
+        precision=os.environ.get("VRT_PRECISION", "bf16"),
         enhanced_mode=True,
         denoise=0.5,
         sharpen=0.3,

@@ -251,12 +251,15 @@ def _quant_act(ak):
     already the noise floor). amax is max/-min of the resident chunk —
     no jnp.abs materialization.
 
-    Scale and its reciprocal stay (1, 1, 1) ARRAYS end to end — Mosaic
-    converts only 32-bit values to scalars, so a bf16 scalar squeeze
-    fails to lower; the broadcasts are free splats."""
-    mx = jnp.max(ak, keepdims=True)
-    mn = jnp.min(ak, keepdims=True)
+    Scale and its reciprocal stay (1, 1, 1) ARRAYS end to end, and the
+    bf16 reduce stops at the lane vector — Mosaic converts only 32-bit
+    values to scalars, so any all-axes bf16 reduce (even keepdims)
+    fails to lower; the final one-element reduce runs on the tiny fp32
+    lane vector instead. The broadcasts are free splats."""
+    mx = jnp.max(ak, axis=(0, 1), keepdims=True)  # (1, 1, 3cin) bf16
+    mn = jnp.min(ak, axis=(0, 1), keepdims=True)
     amax = jnp.maximum(mx, -mn).astype(jnp.float32)
+    amax = jnp.max(amax, keepdims=True)  # (1, 1, 1) fp32
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     inv = (1.0 / sa).astype(ak.dtype)
     qa = jnp.clip(jnp.round(ak * inv), -127.0, 127.0)
