@@ -262,7 +262,14 @@ def _quant_act(ak):
     amax = jnp.max(amax, keepdims=True)  # (1, 1, 1) fp32
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     inv = (1.0 / sa).astype(ak.dtype)
-    qa = jnp.clip(jnp.round(ak * inv), -127.0, 127.0)
+    qa = ak * inv
+    # round-half-away via shift + truncate-toward-zero: math.roundeven
+    # (jnp.round) fails to legalize in Mosaic on this toolchain
+    # (round-5 compile record). The +-0.5 add rounds to the local bf16
+    # grid first, which can perturb the tie decision by <= 0.25 LSB for
+    # top-octave values — noise far under the quantization LSB itself.
+    qa = jnp.where(qa >= 0, qa + 0.5, qa - 0.5)
+    qa = jnp.clip(qa, -127.5, 127.5).astype(jnp.int32)
     return qa.astype(jnp.int8), sa
 
 
