@@ -263,13 +263,25 @@ def _quant_act(ak):
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     inv = (1.0 / sa).astype(ak.dtype)
     qa = ak * inv
-    # round-half-away via shift + truncate-toward-zero: math.roundeven
-    # (jnp.round) fails to legalize in Mosaic on this toolchain
-    # (round-5 compile record). The +-0.5 add rounds to the local bf16
-    # grid first, which can perturb the tie decision by <= 0.25 LSB for
-    # top-octave values — noise far under the quantization LSB itself.
-    qa = jnp.where(qa >= 0, qa + 0.5, qa - 0.5)
-    qa = jnp.clip(qa, -127.5, 127.5).astype(jnp.int32)
+    # round-half-away via copysign(0.5) + truncate-toward-zero:
+    # math.roundeven (jnp.round) fails to legalize in Mosaic on this
+    # toolchain, and so does arith.cmpf on bf16 vectors ("Target does
+    # not support this comparison", round-5 compile record) — so the
+    # sign pick is BITWISE: OR the operand's sign bit into 0.5's bit
+    # pattern (i16 ops + same-width bitcasts only). The +-0.5 add
+    # rounds to the local bf16 grid first, which can perturb the tie
+    # decision by <= 0.25 LSB for top-octave values — noise far under
+    # the quantization LSB itself.
+    if qa.dtype == jnp.bfloat16:
+        bits = jax.lax.bitcast_convert_type(qa, jnp.int16)
+        half_bits = jnp.bitwise_or(
+            jnp.int16(0x3F00),  # bf16 +0.5
+            jnp.bitwise_and(bits, jnp.int16(-0x8000)),  # sign bit
+        )
+        half = jax.lax.bitcast_convert_type(half_bits, jnp.bfloat16)
+    else:
+        half = jnp.where(qa >= 0, qa.dtype.type(0.5), qa.dtype.type(-0.5))
+    qa = jnp.clip(qa + half, -127.5, 127.5).astype(jnp.int32)
     return qa.astype(jnp.int8), sa
 
 
