@@ -1030,3 +1030,41 @@ def test_full_model_stripe_int8_interpret(rng):
         )
     assert out.shape == ref.shape
     assert _psnr(out, ref) > 45.0
+
+
+def test_quant_act_bitwise_rounding():
+    """_quant_act's bf16 rounding is BITWISE copysign(0.5) + truncate
+    (arith.cmpf on bf16 vectors does not legalize in Mosaic — round-5
+    compile record). Pin it against a numpy round-half-away reference on
+    a value grid that covers negative halves, zero, the clip bounds, and
+    values exactly representable in bf16."""
+    from video_restore_tpu.ops.pallas_stripe import _quant_act
+
+    # exact-in-bf16 grid: integers and halves across the int8 range,
+    # plus a max value that sets the dynamic scale to exactly 1.0
+    vals = np.concatenate(
+        [
+            np.arange(-127, 128, dtype=np.float32),
+            np.arange(-126, 127, dtype=np.float32) + 0.5,
+            np.array([-127.0, 127.0], np.float32),
+        ]
+    )
+    n = vals.size
+    pad = (-n) % 8
+    vals = np.pad(vals, (0, pad))
+    ak = jnp.asarray(vals.reshape(1, -1, 8), jnp.bfloat16)
+    q, sa = jax.jit(_quant_act)(ak)
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(sa), 1.0, rtol=1e-6)
+    got = np.asarray(q, np.int32).reshape(-1)[:n]
+    v = vals[:n]
+    # round-half-away reference (np.round is half-even; build explicitly)
+    ref = np.trunc(v + np.copysign(0.5, v)).astype(np.int32)
+    ref = np.clip(ref, -127, 127)
+    np.testing.assert_array_equal(got, ref)
+
+    # fp32 input takes the cmp branch and must agree on the same grid
+    q32, sa32 = jax.jit(_quant_act)(jnp.asarray(vals.reshape(1, -1, 8)))
+    np.testing.assert_array_equal(
+        np.asarray(q32, np.int32).reshape(-1)[:n], ref
+    )
