@@ -375,3 +375,85 @@ def test_srvgg_model_stripe2d_raw_up(rng, monkeypatch):
     ), mock.patch.object(pk, "srvgg_up_fused_raw", interp_u):
         got = np.asarray(apply_srvgg(params, x, spec, stripe=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_srvgg_stripe2d_split_parity(rng):
+    """Split edge/interior launches (mask-free interior, alias-chained
+    output — the rdb_stripe2d_split pattern) == the single masked call
+    == the naive chain, CHAINED twice (the production group scan), for
+    the roll and N-packed forms plus the int8 quant path; pad-zero
+    invariant held after both applications. Geometry exercises hp>h and
+    wp>w masking with a genuine interior (ns=4, nwb=4)."""
+    from video_restore_tpu.ops.conv import conv2d, prelu
+    from video_restore_tpu.ops.pallas_srvgg import (
+        fold_dy,
+        srvgg_split_ok,
+        srvgg_stripe2d_padded,
+        srvgg_stripe2d_split,
+    )
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        quantize_prefix_weights,
+        unpad_stripe2d_exit,
+    )
+
+    nf, g = 16, 4
+    b, h, w = 2, 56, 140
+    bh, bw = 16, 40  # ns=4 (hp=64>56), nwb=4 (wp=160>140)
+    assert srvgg_split_ok(h, w, g, bh, bw)
+    x = jnp.asarray(rng.random((b, h, w, nf)).astype(np.float32))
+    ws = jnp.asarray(
+        (rng.random((2, g, 3, 3, nf, nf)) - 0.5) * 0.3, jnp.float32
+    )
+    bs = jnp.asarray(rng.random((2, g, nf)) * 0.1, jnp.float32)
+    al = jnp.asarray(rng.random((2, g, nf)) * 0.5, jnp.float32)
+
+    ref = x
+    for j in range(2):
+        for i in range(g):
+            ref = prelu(conv2d(ref, ws[j, i], bs[j, i]), al[j, i])
+    ref = np.asarray(ref)
+
+    wd = fold_dy(ws)  # (2, g, 3, 3nf, nf)
+    forms = {
+        "roll": wd,
+        "pack": jnp.swapaxes(wd, -3, -2).reshape(2, g, 3 * nf, 3 * nf),
+    }
+    for name, wk in forms.items():
+        o = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+        for j in range(2):
+            o = srvgg_stripe2d_split(
+                o, wk[j], bs[j], al[j], frame_h=h, frame_w=w, group=g,
+                block_h=bh, block_w=bw, interpret=True,
+            )
+        out = unpad_stripe2d_exit(o, h, w, nf, block_h=bh, block_w=bw)
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-5, atol=1e-5, err_msg=name
+        )
+        op = np.asarray(o)
+        assert np.all(op[:, :bh] == 0) and np.all(op[:, bh + h :] == 0)
+        assert np.all(op[:, :, w:] == 0)
+        assert np.all(op[..., nf:] == 0)
+        # split == the single masked call, bitwise (same contraction
+        # order per window; only the mask work differs)
+        o1 = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+        for j in range(2):
+            o1 = srvgg_stripe2d_padded(
+                o1, wk[j], bs[j], al[j], frame_h=h, frame_w=w, group=g,
+                block_h=bh, block_w=bw, interpret=True,
+            )
+        np.testing.assert_array_equal(op, np.asarray(o1), err_msg=name)
+
+    # int8 quant leg (pack form): split == single masked quant call
+    wk = forms["pack"][0]
+    (qw,), (sw,) = quantize_prefix_weights((wk,))
+    xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
+    oq = srvgg_stripe2d_split(
+        xp, qw, bs[0], al[0], frame_h=h, frame_w=w, group=g,
+        block_h=bh, block_w=bw, sws=sw, interpret=True,
+    )
+    oq1 = srvgg_stripe2d_padded(
+        xp, qw, bs[0], al[0], frame_h=h, frame_w=w, group=g,
+        block_h=bh, block_w=bw, sws=sw, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(oq), np.asarray(oq1))

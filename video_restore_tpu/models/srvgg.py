@@ -191,10 +191,24 @@ def _apply(
             bh2, bw2 = blocks
             xp = pad_stripe2d_entry(feat, block_h=bh2, block_w=bw2)
 
+            # split edge/interior launches (mask-free interior — the
+            # rdb_stripe2d_split pattern) when the geometry admits one;
+            # VRT_SRVGG_SPLIT=0 restores the single masked call
+            from video_restore_tpu.ops.pallas_srvgg import (
+                srvgg_split_ok,
+                srvgg_stripe2d_split,
+            )
+
+            body2d = (
+                srvgg_stripe2d_split
+                if srvgg_split_ok(fh, fw, g, bh2, bw2)
+                else srvgg_stripe2d_padded
+            )
+
             def gstep(hc, gw):
                 wg, bg, ag, sg = gw
                 return (
-                    srvgg_stripe2d_padded(
+                    body2d(
                         hc, wg, bg, ag, frame_h=fh, frame_w=fw,
                         group=g, block_h=bh2, block_w=bw2, sws=sg,
                     ),

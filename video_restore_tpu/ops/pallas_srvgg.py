@@ -454,6 +454,296 @@ def srvgg_stripe2d_padded(
 
 
 # ---------------------------------------------------------------------------
+# Split edge/interior launches for the 2D SRVGG body (the
+# rdb_stripe2d_split pattern from ops/pallas_stripe, +2.2% there): the
+# frame-boundary masks (per-conv row iota/compare/where + the column
+# mask) run over every element of every conv in every window, but only
+# windows touching a frame edge need them. The masked ring runs in two
+# launches (rows, cols) and the mask-free interior in a third, chained
+# by mandatory aliasing (input_output_aliases — no copies).
+#
+# The nf=64 body has HALF the per-element MAC weight of the RDB's
+# nf=128/gc=32 stage, so the relative VPU mask cost is larger here.
+#
+# Interior exactness: a nomask window's out rows/cols are all in-frame
+# by construction (si in 1..ns-2, wi in 1..nwb-2), and its input margins
+# are either genuine neighbour data or the padded array's exact zeros —
+# UNLESS an out-of-frame intermediate row (conv(0)+bias -> PReLU(bias)
+# != 0, which the masked form re-zeroes every conv) can telescope back
+# into an interior window's output. That contamination reaches rows
+# >= h - (group-1), so interior windows are safe iff the edge-adjacent
+# stripes stay clear of it: (ns-1)*bh + group <= frame_h, and the
+# column analogue (nwb-1)*bw + _MWG <= frame_w (the margin columns of
+# wi=nwb-2 must be in-frame). srvgg_split_ok checks both; callers fall
+# back to the single-call kernel otherwise.
+# ---------------------------------------------------------------------------
+
+
+def _srvgg_stripe2d_part_kernel(
+    xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
+    *refs,  # [prev], w, b, alpha, [scales], out_ref, xblk, sem
+    part: str,  # "rows" | "cols" | "int"
+    has_prev: bool,  # an alias-chain input follows xp_ref
+    nomask: bool,
+    quant: bool = False,
+    bh: int,
+    bw: int,
+    h: int,
+    w: int,
+    wp: int,
+    nf: int,
+    group: int,
+    ns: int,
+    nwb: int,
+    nb: int,
+    cpad: int,
+):
+    base = 1 if has_prev else 0
+    nw = 4 if quant else 3
+    w_ref, b_ref, a_ref = refs[base : base + 3]
+    s_ref = refs[base + 3] if quant else None
+    out_ref, xblk, sem = refs[base + nw], refs[base + nw + 1], refs[base + nw + 2]
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    ji = pl.program_id(2)
+    he = bh + 2 * group
+    bwf = bw + 2 * _MWG
+    row_off = bh - group
+
+    # part-specific decode: (si, wi) of THIS program, body-program count
+    # per batch (nbp), flat->(si, wi) for the prefetch, halo handling
+    if part == "rows":
+        si = (jnp.clip(gi, 1, 2) - 1) * (ns - 1)
+        wi = ji
+        is_halo = (gi == 0) | (gi == 3)
+        nbp = 2 * nwb
+
+        def decode(r):
+            return (r // nwb) * (ns - 1), r % nwb
+
+        m = (bi * 2 + (jnp.clip(gi, 1, 2) - 1)) * nwb + ji
+    elif part == "cols":
+        si = gi + 1
+        wi = ji * (nwb - 1)
+        is_halo = None
+        nbp = (ns - 2) * 2
+
+        def decode(r):
+            return r // 2 + 1, (r % 2) * (nwb - 1)
+
+        m = bi * nbp + gi * 2 + ji
+    elif part == "int":
+        si = gi + 1
+        wi = ji + 1
+        is_halo = None
+        nbp = (ns - 2) * (nwb - 2)
+
+        def decode(r):
+            return r // (nwb - 2) + 1, r % (nwb - 2) + 1
+
+        m = bi * nbp + gi * (nwb - 2) + ji
+    else:  # pragma: no cover
+        raise ValueError(part)
+
+    def dma(slot, idx):
+        bb = idx // nbp
+        r = idx % nbp
+        si_d, wi_d = decode(r)
+        c0c = pl.multiple_of(jnp.clip(wi_d * bw - _MWG, 0, wp - bwf), 8)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(si_d * bh + row_off, he), pl.ds(c0c, bwf)],
+            xblk.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((bi == 0) & (gi == 0) & (ji == 0))
+    def _():
+        dma(0, 0).start()
+
+    def compute():
+        @pl.when(m + 1 < nb * nbp)
+        def _():
+            dma((m + 1) % 2, m + 1).start()
+
+        dma(m % 2, m).wait()
+        dt = out_ref.dtype
+        _stripe2d_window(xblk, m % 2, wi, nwb, he, bwf, dt, mw=_MWG)
+        t = xblk[m % 2][:, :, :nf]
+        if not nomask:
+            cols = lax.broadcasted_iota(jnp.int32, (1, bwf, 1), 1)
+            gcol = cols + (wi * bw - _MWG)
+            col_ok = (gcol >= 0) & (gcol < w)
+        top = si * bh - group
+        for g in range(group):
+            acc = _conv_prefix(
+                t, w_ref[g], sw=None if s_ref is None else s_ref[g]
+            ) + b_ref[g]
+            acc = jnp.where(acc >= 0, acc, acc * a_ref[g])  # PReLU
+            if nomask:
+                t = acc.astype(dt)
+            else:
+                e = acc.shape[0]
+                rows = lax.broadcasted_iota(jnp.int32, (e, 1, 1), 0)
+                rowf = rows + (top + 1)
+                ok = (rowf >= 0) & (rowf < h) & col_ok
+                t = jnp.where(ok, acc, 0.0).astype(dt)
+            top += 1
+
+        out = t[:, _MWG : _MWG + bw, :]
+        if cpad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((bh, bw, cpad), dt)], axis=2
+            )
+        out_ref[0] = out
+
+    if is_halo is None:
+        compute()
+    else:
+        @pl.when(is_halo)
+        def _():
+            out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+        pl.when(~is_halo)(compute)
+
+
+def srvgg_split_ok(
+    frame_h: int, frame_w: int, group: int, bh: int, bw: int
+) -> bool:
+    """Split launches need an interior and edge-adjacent windows whose
+    unmasked intermediates cannot contaminate it (docstring above);
+    VRT_SRVGG_SPLIT=0 disables."""
+    import os
+
+    if os.environ.get("VRT_SRVGG_SPLIT", "1") == "0":
+        return False
+    ns = -(-frame_h // bh)
+    nwb = -(-frame_w // bw)
+    return (
+        ns >= 3
+        and nwb >= 3
+        and (ns - 1) * bh + group <= frame_h
+        and (nwb - 1) * bw + _MWG <= frame_w
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_h", "frame_w", "group", "block_h", "block_w", "interpret",
+    ),
+)
+def srvgg_stripe2d_split(
+    xp: jax.Array,
+    ws: jax.Array,
+    bs: jax.Array,
+    alphas: jax.Array,
+    *,
+    frame_h: int,
+    frame_w: int,
+    group: int,
+    block_h: int,
+    block_w: int,
+    sws: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """srvgg_stripe2d_padded as split edge/interior pallas_call
+    launches: the masked ring in two calls (rows incl. halos, cols) and
+    the mask-free interior in a third, chained by mandatory aliasing.
+    Callers must check srvgg_split_ok first. Same contract: (B,
+    hp+2*bh, wp, nfp) -> same shape, chainable (pad zeros exact)."""
+    b, hp2, wp_in, nfp = xp.shape
+    nf = (
+        ws.shape[-1] // 3
+        if ws.ndim == 3 and ws.shape[-2] == ws.shape[-1]
+        else ws.shape[-1]
+    )
+    bh, bw, ns, nwb, hp, wp, cpad = _geometry2d(
+        frame_h, frame_w, nf, block_h, block_w
+    )
+    if (hp2, wp_in, nfp) != (hp + 2 * bh, wp, nf + cpad):
+        raise ValueError(
+            f"2D padded input {xp.shape} does not match geometry "
+            f"(expected {(b, hp + 2 * bh, wp, nf + cpad)})"
+        )
+    if group > bh:
+        raise ValueError(f"group {group} exceeds block_h {bh}")
+    if group >= _MWG:
+        raise ValueError(f"group {group} overruns the W margin {_MWG}")
+    if not srvgg_split_ok(frame_h, frame_w, group, bh, bw):
+        raise ValueError(
+            f"split geometry invalid for {frame_h}x{frame_w} @ {bh}x{bw}"
+        )
+
+    wk = ws if ws.dtype == jnp.int8 else ws.astype(xp.dtype)
+    b3 = bs.reshape(group, 1, nf).astype(jnp.float32)
+    a3 = alphas.reshape(group, 1, nf).astype(jnp.float32)
+    scale_in = (
+        [] if sws is None
+        else [sws.reshape(group, 1, nf).astype(jnp.float32)]
+    )
+    kw = dict(
+        quant=sws is not None,
+        bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, group=group,
+        ns=ns, nwb=nwb, nb=b, cpad=cpad,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (b, hp + 2 * bh, wp, nf + cpad), xp.dtype
+    )
+    scratch = [
+        pltpu.VMEM(
+            (2, bh + 2 * group, bw + 2 * _MWG, nf + cpad), xp.dtype
+        ),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=127 * 1024 * 1024,
+    )
+
+    def call(part, nomask, grid, index_map, prev):
+        kernel = functools.partial(
+            _srvgg_stripe2d_part_kernel,
+            part=part, nomask=nomask, has_prev=prev is not None, **kw
+        )
+        ins = (
+            [xp] + ([prev] if prev is not None else [])
+            + [wk, b3, a3] + scale_in
+        )
+        nconst = 3 + len(scale_in)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            * (len(ins) - nconst)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * nconst,
+            out_specs=pl.BlockSpec(
+                (1, bh, bw, nf + cpad), index_map,
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            input_output_aliases=(
+                {1: 0} if prev is not None else {}
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(*ins)
+
+    o = call(
+        "rows", False, (b, 4, nwb),
+        lambda bb, i, j: (bb, i + (i // 2) * (ns - 2), j, 0), None,
+    )
+    o = call(
+        "cols", False, (b, ns - 2, 2),
+        lambda bb, i, j: (bb, i + 2, j * (nwb - 1), 0), o,
+    )
+    return call(
+        "int", True, (b, ns - 2, nwb - 2),
+        lambda bb, i, j: (bb, i + 2, j + 1, 0), o,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fused upsampler: conv_out + r-x pixel_shuffle + nearest-upsample skip add
 # in one stripe kernel. The XLA form cost ~27 ms/frame at 1080p (config 4
 # trace): the pixel_shuffle transposes (reshape + 6-D copy, ~19 ms) plus a

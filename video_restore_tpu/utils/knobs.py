@@ -52,6 +52,7 @@ KNOWN_KNOBS = frozenset(
         "VRT_SRVGG_2D",
         "VRT_SRVGG_GROUP",
         "VRT_SRVGG_KFORM",
+        "VRT_SRVGG_SPLIT",
         "VRT_SRVGG_STRIPE",
         "VRT_SRVGG_UNROLL",
         "VRT_SRVGG_UP",
