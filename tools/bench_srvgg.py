@@ -7,6 +7,8 @@ shows up as lost throughput.
 
 Usage: python tools/bench_srvgg.py [fw[:GROUP]|s2d:BH:BW[:GROUP]] ...
   with VRT_SRVGG_KFORM={roll|pack|im2col} selecting the contraction form.
+  s2q:BH:BW = the int8 W8A8 2D body; s2p:BH:BW = split edge/interior
+  launches (mask-free interior) of the bf16 2D body.
 """
 
 import os
@@ -29,6 +31,7 @@ from video_restore_tpu.models.srvgg import SRVGGSpec, _stripe_kform, init_srvgg
 from video_restore_tpu.ops.pallas_srvgg import (
     fold_dy,
     srvgg_stripe2d_padded,
+    srvgg_stripe2d_split,
     srvgg_stripe_padded,
 )
 from video_restore_tpu.ops.pallas_stripe import (
@@ -108,11 +111,21 @@ def main():
 
             bench(mode, step, x, wb)
 
-        elif mode.startswith("s2d") or mode.startswith("s2q"):
-            # s2q:BH:BW[:G] — the 2D body with the int8 W8A8 path
+        elif (
+            mode.startswith("s2d")
+            or mode.startswith("s2q")
+            or mode.startswith("s2p")
+        ):
+            # s2q:BH:BW[:G] — the 2D body with the int8 W8A8 path;
+            # s2p:BH:BW[:G] — split edge/interior launches
             bh, bw = int(parts[1]), int(parts[2])
             g = int(parts[3]) if len(parts) > 3 else 8
             quant = mode.startswith("s2q")
+            body2d = (
+                srvgg_stripe2d_split
+                if mode.startswith("s2p")
+                else srvgg_stripe2d_padded
+            )
             ngroups = NCONV // g
             wsg = kform_weights(wall, ngroups, g, NF)
             bsg = params["body"]["b"].reshape(ngroups, g, NF)
@@ -133,12 +146,12 @@ def main():
                 )
 
             @jax.jit
-            def step(x, wb, g=g, bh=bh, bw=bw):
+            def step(x, wb, g=g, bh=bh, bw=bw, body2d=body2d):
                 xp = pad_stripe2d_entry(x, block_h=bh, block_w=bw)
 
                 def gstep(hc, gw):
                     return (
-                        srvgg_stripe2d_padded(
+                        body2d(
                             hc, gw[0], gw[1], gw[2], sws=gw[3],
                             frame_h=H, frame_w=W, group=g,
                             block_h=bh, block_w=bw,
