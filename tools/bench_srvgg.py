@@ -45,8 +45,11 @@ B, H, W, NF, NCONV = 1, 1080, 1920, 64, 32
 ITERS = 8
 
 
-def kform_weights(wsg, ngroups, g, nf):
-    kform = _stripe_kform()
+def kform_weights(wsg, ngroups, g, nf, two_d=False):
+    # two_d must mirror the production default (_stripe_kform(two_d=
+    # blocks is not None) in models/srvgg.py) — the 2D body defaults to
+    # the N-packed form, the full-width stripe to roll.
+    kform = _stripe_kform(two_d=two_d)
     if kform == "im2col":
         return wsg.reshape(ngroups, g, 9 * nf, nf)
     if kform == "pack":
@@ -127,7 +130,7 @@ def main():
                 else srvgg_stripe2d_padded
             )
             ngroups = NCONV // g
-            wsg = kform_weights(wall, ngroups, g, NF)
+            wsg = kform_weights(wall, ngroups, g, NF, two_d=True)
             bsg = params["body"]["b"].reshape(ngroups, g, NF)
             asg = params["body"]["alpha"].reshape(ngroups, g, NF)
             if quant:
