@@ -996,6 +996,51 @@ def test_rdb_stripe2d_split_int8_interpret(rng):
     assert _psnr(got, ref) > 50.0
 
 
+def test_rdb_stripe2d_int8_static_interpret(rng):
+    """Static-A8 int8 (calibrated per-conv scales, quantize-once at the
+    conv input — the round-5 repair path for the dynamic-quant chain
+    cost) vs the fp32 naive RDB: same PSNR class as the dynamic form,
+    the padded-form zero invariant holds, and the split launches are
+    bitwise-identical to the single-call kernel (same quant math)."""
+    from video_restore_tpu.models.rrdbnet import calibrate_rdb_act_scales
+    from video_restore_tpu.ops.pallas_stripe import (
+        pad_stripe2d_entry,
+        production_prefix_weights,
+        quantize_prefix_weights,
+        rdb_stripe2d_padded,
+        rdb_stripe2d_split,
+        stripe2d_split_ok,
+        unpad_stripe2d_exit,
+    )
+
+    nf, gc = 16, 8
+    rdb, ws, bs = _one_rdb(nf, gc)
+    x = jnp.asarray(rng.random((1, 96, 144, nf)).astype(np.float32))
+    sas = calibrate_rdb_act_scales(rdb, x)
+    assert len(sas) == 5 and all(isinstance(s, float) for s in sas)
+    ws = production_prefix_weights(ws)
+    qws, sws = quantize_prefix_weights(ws)
+    ref = np.asarray(_rdb_apply(rdb, x))
+    assert stripe2d_split_ok(96, 144, 32, 48)
+    xp = pad_stripe2d_entry(x, block_h=32, block_w=48)
+    kw = dict(frame_h=96, frame_w=144, block_h=32, block_w=48, sws=sws,
+              sas=sas, interpret=True)
+    outp = rdb_stripe2d_padded(xp, qws, bs, **kw)
+    out = np.asarray(
+        unpad_stripe2d_exit(outp, 96, 144, nf, block_h=32, block_w=48)
+    )
+    assert _psnr(out, ref) > 45.0
+    # chainable padded form: pad regions stay exact zeros
+    full = np.array(outp)
+    full[:, 32 : 32 + 96, :144, :nf] = 0.0
+    assert np.all(full == 0.0)
+    # split launches: identical values to the single-call static kernel
+    outs = rdb_stripe2d_split(xp, qws, bs, **kw)
+    np.testing.assert_allclose(
+        np.asarray(outp), np.asarray(outs), rtol=0, atol=0
+    )
+
+
 def test_full_model_stripe_int8_interpret(rng):
     """_apply(stripe=True, precision='int8') end to end (interpret):
     quality within a few tenths of a dB of the bf16 stripe path at this

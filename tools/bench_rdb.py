@@ -220,7 +220,9 @@ def main():
             # s2s:BH:BW[:H:W:B] — split edge/interior launches (masked
             # ring in two calls, mask-free interior in a third);
             # s2q:BH:BW — the same launches with the int8 W8A8 body
-            # (quantize_prefix_weights + in-kernel activation scales)
+            # (quantize_prefix_weights + in-kernel dynamic activation
+            # scales); s2qs:BH:BW — static-A8: calibrated per-conv
+            # activation scales (quantize-once, no in-kernel amax chain)
             from video_restore_tpu.ops.pallas_stripe import (
                 pad_stripe2d_entry,
                 production_prefix_weights,
@@ -231,6 +233,7 @@ def main():
 
             parts = mode.split(":")
             quant = mode.startswith("s2q")
+            static_q = mode.startswith("s2qs")
             bh, bw = int(parts[1]), int(parts[2])
             hh = int(parts[3]) if len(parts) > 3 else H
             ww = int(parts[4]) if len(parts) > 4 else W
@@ -253,13 +256,25 @@ def main():
                 )
             x2 = jnp.asarray(rng.random((bb, hh, ww, NF)), jnp.bfloat16)
             xp = pad_stripe2d_entry(x2, block_h=bh, block_w=bw)
+            if static_q:
+                from video_restore_tpu.models.rrdbnet import (
+                    calibrate_rdb_act_scales,
+                )
+
+                # calibrate on a small crop of the bench input (values
+                # only set the clip point — timing is scale-invariant)
+                sas = calibrate_rdb_act_scales(
+                    rdb, x2[:1, :128, :128].astype(jnp.float32)
+                )
+            else:
+                sas = None
 
             @jax.jit
-            def step(xp, wb, bh=bh, bw=bw, hh=hh, ww=ww):
+            def step(xp, wb, bh=bh, bw=bw, hh=hh, ww=ww, sas=sas):
                 def body(h, _):
                     return (
                         rdb_stripe2d_split(
-                            h, wb[0], wb[1], sws=wb[2],
+                            h, wb[0], wb[1], sws=wb[2], sas=sas,
                             frame_h=hh, frame_w=ww,
                             block_h=bh, block_w=bw,
                         ),

@@ -159,6 +159,39 @@ def _rdb_apply(p: Params, x: jax.Array) -> jax.Array:
     return c5 * jnp.asarray(0.2, x.dtype) + x
 
 
+def calibrate_rdb_act_scales(p: Params, x: jax.Array, margin: float = 1.0):
+    """Static activation scales for the static-A8 int8 stripe body
+    (ops.pallas_stripe ``sas=``): amax/127 of each conv's INPUT in the
+    prefix formulation — x for conv1 and the growth tensors c1..c4 for
+    convs 2..5 (identical to the dense-block intermediates of
+    :func:`_rdb_apply`). Post-training calibration: run on representative
+    data; ``margin`` > 1 buys saturation headroom for unseen inputs at
+    the cost of one bit-fraction of resolution. Returns a hashable
+    5-tuple of python floats (a jit-static argument downstream)."""
+    c1 = leaky_relu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]))
+    c2 = leaky_relu(
+        conv2d(jnp.concatenate([x, c1], -1), p["conv2"]["w"], p["conv2"]["b"])
+    )
+    c3 = leaky_relu(
+        conv2d(
+            jnp.concatenate([x, c1, c2], -1), p["conv3"]["w"], p["conv3"]["b"]
+        )
+    )
+    c4 = leaky_relu(
+        conv2d(
+            jnp.concatenate([x, c1, c2, c3], -1),
+            p["conv4"]["w"],
+            p["conv4"]["b"],
+        )
+    )
+    return tuple(
+        max(float(jnp.max(jnp.abs(t.astype(jnp.float32)))), 1e-12)
+        * margin
+        / 127.0
+        for t in (x, c1, c2, c3, c4)
+    )
+
+
 def _regroup_rdb_weights(p: Params, nf: int, gc: int):
     """Regroup the 5 dense-block convs *by input source* instead of by
     output.

@@ -262,16 +262,21 @@ def _quant_act(ak):
     amax = jnp.max(amax, keepdims=True)  # (1, 1, 1) fp32
     sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     inv = (1.0 / sa).astype(ak.dtype)
-    qa = ak * inv
-    # round-half-away via copysign(0.5) + truncate-toward-zero:
-    # math.roundeven (jnp.round) fails to legalize in Mosaic on this
-    # toolchain, and so does arith.cmpf on bf16 vectors ("Target does
-    # not support this comparison", round-5 compile record) — so the
-    # sign pick is BITWISE: OR the operand's sign bit into 0.5's bit
-    # pattern (i16 ops + same-width bitcasts only). The +-0.5 add
-    # rounds to the local bf16 grid first, which can perturb the tie
-    # decision by <= 0.25 LSB for top-octave values — noise far under
-    # the quantization LSB itself.
+    return _round_clip_i8(ak * inv), sa
+
+
+def _round_clip_i8(qa):
+    """Round-half-away + clip to [-127, 127] + cast to int8.
+
+    Round-half-away via copysign(0.5) + truncate-toward-zero:
+    math.roundeven (jnp.round) fails to legalize in Mosaic on this
+    toolchain, and so does arith.cmpf on bf16 vectors ("Target does
+    not support this comparison", round-5 compile record) — so the
+    sign pick is BITWISE: OR the operand's sign bit into 0.5's bit
+    pattern (i16 ops + same-width bitcasts only). The +-0.5 add
+    rounds to the local bf16 grid first, which can perturb the tie
+    decision by <= 0.25 LSB for top-octave values — noise far under
+    the quantization LSB itself."""
     if qa.dtype == jnp.bfloat16:
         bits = jax.lax.bitcast_convert_type(qa, jnp.int16)
         half_bits = jnp.bitwise_or(
@@ -282,7 +287,21 @@ def _quant_act(ak):
     else:
         half = jnp.where(qa >= 0, qa.dtype.type(0.5), qa.dtype.type(-0.5))
     qa = jnp.clip(qa + half, -127.5, 127.5).astype(jnp.int32)
-    return qa.astype(jnp.int8), sa
+    return qa.astype(jnp.int8)
+
+
+def _quant_act_static(a, scale: float):
+    """A8 with a STATIC (calibration-time) scale — the repair path the
+    round-5 dynamic-quant measurement pointed at (BENCH_NOTES round-5
+    int8 section): the per-chunk amax reduce chain disappears, and the
+    conv input is quantized ONCE here instead of 3x through the dy
+    lane-concat (the concat then copies int8 rows). The dequant scale
+    is pre-folded into the weight scales host-side (fold_static_act_
+    scales), so the kernel-side epilogue multiplies by sw only.
+    Out-of-range activations saturate at +-127 (symmetric clip) — the
+    calibration margin is the quality knob."""
+    inv = a.dtype.type(1.0 / scale)
+    return _round_clip_i8(a * inv)
 
 
 def _wgeom(w) -> Tuple[int, int]:
@@ -336,7 +355,7 @@ def _nodycat_min() -> int:
     return int(v) if v.isdigit() else 1 << 30
 
 
-def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
+def _conv_prefix(a, w, out_dt=jnp.float32, sw=None, sa_static=None):
     """3x3 conv, column-aligned: (e, Wf, cin) x weights -> (e-2, Wf, cout)
     ``out_dt``; output row r/col j centered on input row r+1 / col j.
     Columns {0, Wf-1} are wrapped garbage (handled by the caller's frame
@@ -374,6 +393,15 @@ def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
             "int8 is not wired for the im2col contraction form "
             "(an opt-in measured dead-end, BENCH_NOTES round 3)"
         )
+    if sa_static is not None:
+        if sw is None:
+            raise ValueError("sa_static requires int8 weights (sw)")
+        # STATIC A8: quantize the conv input ONCE (vs 3x through the dy
+        # concat in the dynamic path) with the calibrated scale; the dy
+        # concat below then copies int8 rows. The caller pre-folded the
+        # activation scale into sw (fold_static_act_scales), so the
+        # dequant epilogue is `* sw` with no per-chunk scalar.
+        a = _quant_act_static(a, sa_static)
     # fp32-partial byte budget bounds the row chunk; the dy-stack concat
     # ak is built PER CHUNK (round 4) so its bf16 footprint is bounded
     # too — the full-height build scaled with the window (82MB at the
@@ -440,7 +468,7 @@ def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
             )
         elif npacked:  # N-packed (3cin, 3cout)
             n = w.shape[1] // 3
-            if sw is not None:
+            if sw is not None and sa_static is None:
                 ak, sa = _quant_act(ak)
             p = lax.dot_general(
                 ak,
@@ -455,10 +483,12 @@ def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
                 part = _roll_w(p[:, :, dx * n : (dx + 1) * n], dx - 1)
                 q = part if q is None else q + part
             if sw is not None:
-                q = q.astype(jnp.float32) * (sa * sw)
+                q = q.astype(jnp.float32) * (
+                    sw if sa_static is not None else sa * sw
+                )
             outs.append(q)
         else:  # per-dx (3, 3cin, cout): one matmul per column tap
-            if sw is not None:
+            if sw is not None and sa_static is None:
                 ak, sa = _quant_act(ak)
             acc = None
             for dx in range(3):
@@ -473,7 +503,9 @@ def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
                 p = _roll_w(p, dx - 1)
                 acc = p if acc is None else acc + p
             if sw is not None:
-                acc = acc.astype(jnp.float32) * (sa * sw)
+                acc = acc.astype(jnp.float32) * (
+                    sw if sa_static is not None else sa * sw
+                )
             outs.append(acc)
     acc = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return acc.astype(out_dt)
@@ -481,7 +513,7 @@ def _conv_prefix(a, w, out_dt=jnp.float32, sw=None):
 
 def _rdb_stage(
     x, w5, b5, top, *, h, w, wf, nf, gc, dt, acc_dt, col_ok, nomask=None,
-    rc=None, sw5=None,
+    rc=None, sw5=None, sas=None,
 ):
     """One full RDB on a window x (e, Wf, nf): 5 chained prefix-form convs
     + the 0.2 residual, masked to the frame (exact SAME padding; zeros
@@ -517,8 +549,11 @@ def _rdb_stage(
     ws_ = (w0, w1, w2, w3, w4)
     b1, b2, b3, b4, b5_ = b5
     bs_ = (b1, b2, b3, b4, b5_)
-    # sw5: per-conv fp32 (1, 1, cout) weight scales (W8A8 path) or None
+    # sw5: per-conv fp32 (1, 1, cout) weight scales (W8A8 path) or None;
+    # sas: per-conv STATIC activation scales (python floats, pre-folded
+    # into sw5 by the caller) selecting the static-A8 quant form
     sws_ = (None,) * 5 if sw5 is None else tuple(s[0] for s in sw5)
+    sas_ = (None,) * 5 if sas is None else tuple(sas)
     g = gc
     e = x.shape[0]
     n1 = e - 2  # acc1 rows; stage-k acc has n1 - 2(k-1) rows
@@ -548,7 +583,9 @@ def _rdb_stage(
     for j in range(len(bounds) - 1):
         lo_b, hi_b = bounds[j], bounds[j + 1]
         # stage 1: conv1 over x rows [lo_b, hi_b+2) -> acc1 rows [lo_b, hi_b)
-        acc = _conv_prefix(x[lo_b : hi_b + 2], w0[:], acc_dt, sw=sws_[0])
+        acc = _conv_prefix(
+            x[lo_b : hi_b + 2], w0[:], acc_dt, sw=sws_[0], sa_static=sas_[0]
+        )
         for k in range(1, 5):
             # this chunk's acc_k covers rows [max(0, lo_b-2(k-1)), hi_b-2(k-1))
             sk = max(0, lo_b - 2 * (k - 1))
@@ -568,7 +605,8 @@ def _rdb_stage(
                 carry_acc[k - 1] = acc[-1:]
             if k < 4:
                 conv_out = _conv_prefix(
-                    conv_in, ws_[k][:], acc_dt, sw=sws_[k]
+                    conv_in, ws_[k][:], acc_dt, sw=sws_[k],
+                    sa_static=sas_[k],
                 )
                 cout = conv_out.shape[-1]
                 acc = jnp.concatenate(
@@ -579,7 +617,9 @@ def _rdb_stage(
                 # stage 5 epilogue: fp32 conv + residual on the nf prefix
                 c5 = (
                     acc_src[:, :, :nf].astype(jnp.float32)
-                    + _conv_prefix(conv_in, ws_[4][:], sw=sws_[4])
+                    + _conv_prefix(
+                        conv_in, ws_[4][:], sw=sws_[4], sa_static=sas_[4]
+                    )
                     + b5_[0]
                 )
         s5 = max(0, lo_b - 2 * 4)
@@ -859,6 +899,19 @@ def _wcast(ws, dt):
     return [
         wi if wi.dtype == jnp.int8 else wi.astype(dt) for wi in ws
     ]
+
+
+def fold_static_act_scales(sws, sas):
+    """Pre-fold static activation scales into the per-channel weight
+    scales (host-side, once per model): the static-A8 kernel epilogue
+    then dequantizes with ONE `* sw` multiply and carries no per-chunk
+    scalar. ``sas`` is a 5-tuple of python floats (calibrate_rdb_act_
+    scales); returns the folded sws in the same layouts."""
+    if sws is None or sas is None:
+        raise ValueError("fold_static_act_scales needs both sws and sas")
+    return tuple(
+        s * jnp.float32(float(a)) for s, a in zip(sws, sas)
+    )
 
 
 def _scale3(sws):
@@ -1375,6 +1428,7 @@ def _rdb_stripe2d_kernel(
     xp_ref,  # (B, hp + 2*bh, wp, nfp) ANY/HBM — 2D padded input
     *refs,  # 5 weights, 5 biases, [5 scales], out_ref, xblk, sem
     quant: bool = False,
+    sas: tuple | None = None,
     bh: int,
     bw: int,
     h: int,
@@ -1445,7 +1499,7 @@ def _rdb_stripe2d_kernel(
             x, wref, bref,
             si * bh - _HALO,
             h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
-            acc_dt=jnp.float32, col_ok=col_ok, rc=rc, sw5=sref,
+            acc_dt=jnp.float32, col_ok=col_ok, rc=rc, sw5=sref, sas=sas,
         )
         out = out[:, _MW : _MW + bw, :]
         if cpad:
@@ -1464,7 +1518,8 @@ def _rdb_stripe2d_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "frame_h", "frame_w", "block_h", "block_w", "row_chunk", "interpret",
+        "frame_h", "frame_w", "block_h", "block_w", "row_chunk",
+        "sas", "interpret",
     ),
 )
 def rdb_stripe2d_padded(
@@ -1478,6 +1533,7 @@ def rdb_stripe2d_padded(
     block_w: int | None = None,
     row_chunk: int | None = None,
     sws: Sequence[jax.Array] | None = None,
+    sas: tuple | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB forward in 2D padded stripe form: (B, hp+2*bh, wp, nfp)
@@ -1496,11 +1552,14 @@ def rdb_stripe2d_padded(
         )
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
     wlist = _wcast(ws, xp.dtype)
+    if sas is not None:
+        sws = fold_static_act_scales(sws, sas)
     scale3 = _scale3(sws)
 
     kernel = functools.partial(
         _rdb_stripe2d_kernel,
         quant=sws is not None,
+        sas=sas,
         bh=bh, bw=bw, h=frame_h, w=frame_w, wp=wp, nf=nf, gc=gc,
         ns=ns, nwb=nwb, nb=b, cpad=cpad,
         rc=_stripe_rc_default(bh) if row_chunk is None else (row_chunk or None),
@@ -1726,6 +1785,7 @@ def _rdb_stripe2d_part_kernel(
     has_prev: bool,  # a prev/alias input follows xp_ref
     nomask: bool,
     quant: bool = False,
+    sas: tuple | None = None,
     bh: int,
     bw: int,
     h: int,
@@ -1853,7 +1913,7 @@ def _rdb_stripe2d_part_kernel(
             si * bh - _HALO,
             h=h, w=w, wf=bwf, nf=nf, gc=gc, dt=dt,
             acc_dt=jnp.float32, col_ok=col_ok, rc=rc, nomask=nomask,
-            sw5=sref,
+            sw5=sref, sas=sas,
         )
         t = t[:, _MW : _MW + bw, :]
         if res:
@@ -1897,7 +1957,7 @@ def stripe2d_split_ok(
     jax.jit,
     static_argnames=(
         "frame_h", "frame_w", "block_h", "block_w", "row_chunk",
-        "res", "interpret",
+        "res", "sas", "interpret",
     ),
 )
 def rdb_stripe2d_split(
@@ -1913,6 +1973,7 @@ def rdb_stripe2d_split(
     row_chunk: int | None = None,
     res: bool = False,
     sws: Sequence[jax.Array] | None = None,
+    sas: tuple | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused RDB (optionally + RRDB residual when ``res``/``x0``) in 2D
@@ -1935,6 +1996,8 @@ def rdb_stripe2d_split(
         raise ValueError("res=True requires x0 (and vice versa)")
     bias3 = [bb.reshape(1, 1, -1).astype(jnp.float32) for bb in bs]
     wlist = _wcast(ws, xp.dtype)
+    if sas is not None:
+        sws = fold_static_act_scales(sws, sas)
     scale3 = _scale3(sws)
     rc = _stripe_rc_default(bh) if row_chunk is None else (row_chunk or None)
 
@@ -1965,7 +2028,7 @@ def rdb_stripe2d_split(
         kernel = functools.partial(
             _rdb_stripe2d_part_kernel,
             part=part, nomask=nomask, has_prev=prev is not None,
-            quant=sws is not None, **kw
+            quant=sws is not None, sas=sas, **kw
         )
         ins = (
             [xp] + ([prev] if prev is not None else [])
